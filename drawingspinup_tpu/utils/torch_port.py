@@ -1,0 +1,140 @@
+"""Port reference PyTorch checkpoints into this framework's flax param trees.
+
+The reference stage-1 generator ships as a flat ``state_dict`` of the
+``nn.Sequential``-built FFCResNetGenerator (``predict.py:14-18``; layer
+layout ffc.py:304-366). This module maps those names onto our flax module
+tree (models/ffc.py) and converts layouts:
+  conv   OIHW → HWIO      (transpose 2,3,1,0)
+  convT  (in,out,kh,kw) → (kh,kw,in,out)  (transpose 2,3,0,1)
+  BN     weight/bias/running_mean/running_var → scale/bias/mean/var
+No torch import is required: a state_dict-like mapping of numpy arrays is
+enough (load .ckpt/.pth via ``torch.load`` externally, or safetensors).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _conv_w(a: np.ndarray) -> np.ndarray:
+    return np.asarray(a).transpose(2, 3, 1, 0)
+
+
+def _convt_w(a: np.ndarray) -> np.ndarray:
+    return np.asarray(a).transpose(2, 3, 0, 1)
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _bn_entries(flax_prefix: Tuple[str, ...], torch_prefix: str):
+    """Yield (torch_key, flax_params_path, flax_stats_path, transform)."""
+    bn = flax_prefix + ("BatchNorm_0",)
+    yield torch_prefix + ".weight", bn + ("scale",), None, np.asarray
+    yield torch_prefix + ".bias", bn + ("bias",), None, np.asarray
+    yield torch_prefix + ".running_mean", None, bn + ("mean",), np.asarray
+    yield torch_prefix + ".running_var", None, bn + ("var",), np.asarray
+
+
+def _ffc_bn_act_entries(flax_prefix: Tuple[str, ...], torch_prefix: str):
+    """Map one FFC_BN_ACT block (reference ffc.py:227-254)."""
+    ffc = flax_prefix + ("ffc",)
+    for branch in ("convl2l", "convl2g", "convg2l"):
+        tp = f"{torch_prefix}.ffc.{branch}"
+        yield tp + ".weight", ffc + (branch, "kernel"), None, _conv_w
+        yield tp + ".bias", ffc + (branch, "bias"), None, np.asarray
+    # spectral g2g (reference ffc.py:115-162)
+    st = ffc + ("convg2g",)
+    tp = f"{torch_prefix}.ffc.convg2g"
+    yield tp + ".conv1.0.weight", st + ("conv1", "kernel"), None, _conv_w
+    yield from _bn_entries(st + ("bn1",), tp + ".conv1.1")
+    yield tp + ".fu.conv_layer.weight", st + ("fu", "conv", "kernel"), None, _conv_w
+    yield from _bn_entries(st + ("fu", "bn"), tp + ".fu.bn")
+    yield tp + ".lfu.conv_layer.weight", st + ("lfu", "conv", "kernel"), None, _conv_w
+    yield from _bn_entries(st + ("lfu", "bn"), tp + ".lfu.bn")
+    yield tp + ".conv2.weight", st + ("conv2", "kernel"), None, _conv_w
+    # stream norms
+    yield from _bn_entries(flax_prefix + ("bn_l",), torch_prefix + ".bn_l")
+    yield from _bn_entries(flax_prefix + ("bn_g",), torch_prefix + ".bn_g")
+
+
+def ffc_generator_key_map(n_downsampling: int = 3, n_blocks: int = 9):
+    """Full (torch_key → flax path) map for FFCResNetGenerator.
+
+    torch Sequential indices (ffc.py:304-360): 0 pad, 1 init FFC_BN_ACT,
+    2..1+nd downsamples, then n_blocks resblocks, concat, then per-upsample
+    [ConvT, BN, act], final pad + conv head + out act."""
+    entries = []
+    entries += list(_ffc_bn_act_entries(("init",), "model.1"))
+    idx = 2
+    for i in range(n_downsampling):
+        entries += list(_ffc_bn_act_entries((f"down{i}",), f"model.{idx}"))
+        idx += 1
+    for i in range(n_blocks):
+        for conv in ("conv1", "conv2"):
+            entries += list(_ffc_bn_act_entries((f"block{i}", conv),
+                                                f"model.{idx}.{conv}"))
+        idx += 1
+    idx += 1  # ConcatTupleLayer
+    for i in range(n_downsampling):
+        tp = f"model.{idx}"
+        entries.append((tp + ".weight", (f"up{i}", "kernel"), None, _convt_w))
+        entries.append((tp + ".bias", (f"up{i}", "bias"), None, np.asarray))
+        entries += list(_bn_entries((f"up{i}_bn",), f"model.{idx + 1}"))
+        idx += 3
+    idx += 1  # ReflectionPad
+    entries.append((f"model.{idx}.weight", ("head", "kernel"), None, _conv_w))
+    entries.append((f"model.{idx}.bias", ("head", "bias"), None, np.asarray))
+    return entries
+
+
+def convert_ffc_generator(state_dict: Mapping[str, Any],
+                          n_downsampling: int = 3, n_blocks: int = 9,
+                          strict: bool = False) -> Dict[str, Dict]:
+    """state_dict (torch name → array-like) → flax variables
+    {'params': ..., 'batch_stats': ...}. Missing keys are skipped unless
+    ``strict`` (absent branches like lfu/convl2g are expected to be missing
+    depending on ratios)."""
+    params: Dict = {}
+    stats: Dict = {}
+    for tkey, ppath, spath, tf in ffc_generator_key_map(n_downsampling, n_blocks):
+        if tkey not in state_dict:
+            if strict:
+                raise KeyError(f"missing torch key {tkey}")
+            continue
+        val = tf(np.asarray(state_dict[tkey]))
+        if ppath is not None:
+            _set(params, ppath, val)
+        else:
+            _set(stats, spath, val)
+    return {"params": params, "batch_stats": stats}
+
+
+def invert_to_torch_names(variables: Mapping[str, Any],
+                          n_downsampling: int = 3,
+                          n_blocks: int = 9) -> Dict[str, np.ndarray]:
+    """Inverse mapping (flax → torch names); used for round-trip testing and
+    exporting checkpoints consumable by the reference."""
+    def _get(tree, path):
+        node = tree
+        for p in path:
+            if not isinstance(node, Mapping) or p not in node:
+                return None
+            node = node[p]
+        return node
+
+    inv_tf = {_conv_w: lambda a: np.asarray(a).transpose(3, 2, 0, 1),
+              _convt_w: lambda a: np.asarray(a).transpose(2, 3, 0, 1),
+              np.asarray: np.asarray}
+    out = {}
+    for tkey, ppath, spath, tf in ffc_generator_key_map(n_downsampling, n_blocks):
+        src = _get(variables.get("params", {}), ppath) if ppath is not None \
+            else _get(variables.get("batch_stats", {}), spath)
+        if src is not None:
+            out[tkey] = inv_tf[tf](src)
+    return out

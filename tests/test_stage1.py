@@ -1,0 +1,155 @@
+"""Stage-1 pipeline tests: image ops, inpainting (vs cv2 oracle where
+available), torch checkpoint port round-trip, and the end-to-end predict flow
+on a synthetic uid."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from drawingspinup_tpu.core import UidPaths
+from drawingspinup_tpu.core.io import read_image, write_image
+from drawingspinup_tpu.ops import image as iops
+from drawingspinup_tpu.ops.inpaint import telea_inpaint, telea_inpaint_numpy
+
+
+def make_synthetic_uid(root, uid="toy", size=64):
+    """A drawing-like RGBA texture: colored disc with a dark contour ring."""
+    paths = UidPaths(str(root), uid)
+    yy, xx = np.mgrid[0:size, 0:size]
+    r = np.hypot(yy - size / 2, xx - size / 2)
+    body = r < size * 0.3
+    ring = (r >= size * 0.28) & (r < size * 0.33)
+    rgba = np.zeros((size, size, 4), np.float32)
+    rgba[..., 0] = np.where(body, 0.9, 0.0)
+    rgba[..., 1] = np.where(body, 0.6, 0.0)
+    rgba[..., 2] = np.where(body, 0.3, 0.0)
+    rgba[body | ring, :3] = np.where(ring[..., None][body | ring], 0.05,
+                                     rgba[body | ring, :3])
+    rgba[..., 3] = (body | ring).astype(np.float32)
+    write_image(paths.texture, rgba)
+    return paths
+
+
+class TestImageOps:
+    def test_morphology(self):
+        m = np.zeros((16, 16), np.float32)
+        m[8, 8] = 1.0
+        d = np.asarray(iops.binary_dilate(jnp.asarray(m), 1))
+        assert d.sum() == 9
+        e = np.asarray(iops.binary_erode(jnp.asarray(d), 1))
+        assert e.sum() == 1 and e[8, 8] == 1
+
+    def test_sobel_edge(self):
+        img = np.zeros((16, 16, 3), np.float32)
+        img[:, 8:] = 1.0
+        mag = np.asarray(iops.sobel_magnitude(jnp.asarray(img)))
+        assert mag[:, 7:9].max() > 1.0
+        assert mag[:, :6].max() == 0.0
+
+    def test_edge_from_pos_threshold(self):
+        pos = np.zeros((16, 16, 3), np.float32)
+        pos[:, 8:] = 0.5
+        mask = np.ones((16, 16), np.float32)
+        edge = np.asarray(iops.edge_from_pos(jnp.asarray(pos), jnp.asarray(mask)))
+        assert set(np.unique(edge)) <= {0.0, 1.0}
+        assert edge[:, 7:9].max() == 1.0
+
+    def test_distance_transform(self):
+        m = np.zeros((32, 32), np.float32)
+        m[8:24, 8:24] = 1.0
+        d = np.asarray(iops.distance_transform(jnp.asarray(m), iterations=20))
+        assert d[15, 15] == pytest.approx(8 * 0.955, rel=0.1)
+        assert d[8, 8] == pytest.approx(0.955, rel=0.01)
+        assert d[0, 0] == 0.0
+
+    def test_composite(self):
+        rgba = np.zeros((4, 4, 4), np.float32)
+        rgba[..., 3] = 0.0
+        out = np.asarray(iops.composite_on_color(jnp.asarray(rgba), 1.0))
+        assert np.all(out == 1.0)
+
+
+class TestInpaint:
+    def test_native_matches_numpy(self, rng):
+        img = rng.random((32, 32, 3)).astype(np.float32)
+        mask = np.zeros((32, 32), np.uint8)
+        mask[10:15, 5:25] = 1
+        img[mask != 0] = 0
+        from drawingspinup_tpu import native
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        np.testing.assert_allclose(native.telea_inpaint(img, mask),
+                                   telea_inpaint_numpy(img, mask), atol=1e-6)
+
+    def test_fills_smooth_region(self):
+        img = np.full((32, 32, 3), 0.5, np.float32)
+        mask = np.zeros((32, 32), np.uint8)
+        mask[12:18, 12:18] = 1
+        img[mask != 0] = 0
+        out = telea_inpaint(img, mask)
+        # constant surroundings → fill ≈ constant
+        assert np.abs(out[mask != 0] - 0.5).max() < 0.05
+
+    def test_close_to_cv2_on_smooth_image(self):
+        cv2 = pytest.importorskip("cv2")
+        yy, xx = np.mgrid[0:48, 0:48].astype(np.float32) / 48
+        img = np.stack([yy, xx, (yy + xx) / 2], -1)
+        mask = np.zeros((48, 48), np.uint8)
+        mask[20:26, 10:38] = 1
+        img[mask != 0] = 0
+        ours = telea_inpaint(img, mask)
+        ref = cv2.inpaint((np.clip(img, 0, 1) * 255).astype(np.uint8),
+                          mask * 255, 3, cv2.INPAINT_TELEA).astype(np.float32) / 255
+        assert np.abs(ours - ref)[mask != 0].mean() < 0.02
+
+
+class TestTorchPort:
+    def test_roundtrip_bijective(self):
+        """flax → torch names → flax must be the identity on shared leaves."""
+        from drawingspinup_tpu.models.ffc import FFCResNetGenerator
+        from drawingspinup_tpu.utils.torch_port import (
+            convert_ffc_generator, invert_to_torch_names,
+        )
+        gen = FFCResNetGenerator(ngf=8, n_downsampling=2, n_blocks=2,
+                                 resnet_ratio=0.75, enable_lfu=False)
+        x = np.zeros((1, 32, 32, 4), np.float32)
+        variables = gen.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        sd = invert_to_torch_names(variables, n_downsampling=2, n_blocks=2)
+        assert len(sd) > 20
+        back = convert_ffc_generator(sd, n_downsampling=2, n_blocks=2)
+        import flax.traverse_util as tu
+        orig = tu.flatten_dict(jax.tree.map(np.asarray, dict(variables)))
+        conv = tu.flatten_dict(back)
+        assert set(conv) <= set(orig)
+        # every converted leaf equals the original
+        for k, v in conv.items():
+            np.testing.assert_array_equal(v, orig[k], err_msg=str(k))
+        # all conv/bn leaves were covered (missing ones are only absent
+        # branches like lfu)
+        covered = sum(1 for k in orig if k in conv)
+        assert covered / len(orig) > 0.95
+
+
+class TestPredictPipeline:
+    def test_end_to_end_synthetic(self, tmp_path):
+        from drawingspinup_tpu.core import Config
+        from drawingspinup_tpu.pipelines import stage1
+        paths = make_synthetic_uid(tmp_path)
+        cfg = Config({"generator": {"ngf": 8, "n_downsampling": 2,
+                                    "n_blocks": 1,
+                                    "resnet_conv_kwargs": {"ratio_gin": 0.75}}})
+        model = stage1.build_generator(cfg)
+        variables = model.init(jax.random.PRNGKey(0),
+                               np.zeros((1, 64, 64, 4), np.float32))
+        written = stage1.predict_uids(str(tmp_path), ["toy"], variables, cfg,
+                                      batch_size=1, size=64)
+        assert len(written) == 1
+        out = read_image(written[0])
+        assert out.shape == (64, 64, 4)
+        orig = read_image(paths.texture)
+        # alpha channel passes through untouched
+        np.testing.assert_allclose(out[..., 3], orig[..., 3], atol=2 / 255)
