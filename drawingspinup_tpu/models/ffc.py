@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from drawingspinup_tpu.ops.conv import (
     avg_pool2d, conv2d, conv_transpose2d_torch, global_avg_pool, pad2d,
 )
+from drawingspinup_tpu.ops.fourier import irfft2_ortho, rfft2_ortho
 
 Stream = Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]
 
@@ -133,9 +134,11 @@ class FourierUnit(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         n, h, w, c = x.shape
         dtype = x.dtype
-        xf = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm=self.fft_norm)
-        # (N, H, Wf, C) complex → (N, H, Wf, C, 2) → (N, H, Wf, 2C) interleaved
-        ff = jnp.stack([xf.real, xf.imag], axis=-1)
+        # DFT-as-matmul on the MXU (ops/fourier.py) — XLA's FFT op is not
+        # viable on TPU at these sizes (and absent on this backend).
+        x_re, x_im = rfft2_ortho(x.astype(jnp.float32))
+        # (N, H, Wf, C) re/im → (N, H, Wf, 2C) interleaved [c0_re, c0_im, ...]
+        ff = jnp.stack([x_re, x_im], axis=-1)
         ff = ff.reshape(n, h, w // 2 + 1, c * 2).astype(dtype)
 
         if self.spectral_pos_encoding:
@@ -155,8 +158,7 @@ class FourierUnit(nn.Module):
         ff = jax.nn.relu(ff)
 
         ff = ff.reshape(n, h, w // 2 + 1, self.features, 2).astype(jnp.float32)
-        yf = jax.lax.complex(ff[..., 0], ff[..., 1])
-        y = jnp.fft.irfft2(yf, s=(h, w), axes=(1, 2), norm=self.fft_norm)
+        y = irfft2_ortho(ff[..., 0], ff[..., 1], (h, w))
         return y.astype(dtype)
 
 

@@ -43,6 +43,9 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
         pad_spec = ((ph, ph), (pw, pw))
     else:
         pad_spec = ((0, 0), (0, 0))
+    # params live in f32; compute follows the activation dtype (bf16 policy)
+    w = w.astype(x.dtype)
+    b = b.astype(x.dtype) if b is not None else None
     out = lax.conv_general_dilated(
         x, w,
         window_strides=_pair(stride),
@@ -69,6 +72,8 @@ def conv_transpose2d_torch(x: jnp.ndarray, w: jnp.ndarray,
     this function takes the UNFLIPPED torch-order kernel and flips internally).
     """
     kh, kw = w.shape[0], w.shape[1]
+    w = w.astype(x.dtype)
+    b = b.astype(x.dtype) if b is not None else None
     w_flip = w[::-1, ::-1, :, :]
     lo_h, hi_h = kh - 1 - padding, kh - 1 - padding + output_padding
     lo_w, hi_w = kw - 1 - padding, kw - 1 - padding + output_padding
