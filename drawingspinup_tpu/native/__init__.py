@@ -37,14 +37,23 @@ def _load() -> Optional[ctypes.CDLL]:
         if os.path.exists(_LIB_PATH):
             try:
                 lib = ctypes.CDLL(_LIB_PATH)
-                lib.dsu_telea_inpaint.argtypes = [
-                    ctypes.POINTER(ctypes.c_float),
-                    ctypes.POINTER(ctypes.c_uint8),
-                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ]
+                f32p = ctypes.POINTER(ctypes.c_float)
+                u8p = ctypes.POINTER(ctypes.c_uint8)
+                i32p = ctypes.POINTER(ctypes.c_int)
+                ci = ctypes.c_int
+                lib.dsu_telea_inpaint.argtypes = [f32p, u8p, ci, ci, ci, ci]
                 lib.dsu_telea_inpaint.restype = None
+                lib.dsu_decimate.argtypes = [f32p, ci, i32p, ci, ci,
+                                             f32p, i32p, i32p, i32p]
+                lib.dsu_decimate.restype = ci
+                lib.dsu_rasterize.argtypes = [f32p, ci, i32p, ci, ci, ci, ci,
+                                              f32p, i32p, f32p]
+                lib.dsu_rasterize.restype = None
+                lib.dsu_raycast_z.argtypes = [f32p, ci, i32p, ci, f32p, ci,
+                                              ci, f32p, i32p]
+                lib.dsu_raycast_z.restype = None
                 _lib = lib
-            except OSError:
+            except (OSError, AttributeError):
                 _lib = None
         return _lib
 
@@ -70,3 +79,67 @@ def telea_inpaint(img: np.ndarray, mask: np.ndarray, radius: int = 3) -> np.ndar
         m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         h, w, c, int(radius))
     return out if img.ndim == 3 else out[..., 0]
+
+
+def decimate(verts: np.ndarray, faces: np.ndarray,
+             target_faces: int):
+    """Quadric edge-collapse decimation → (verts, faces). Native only."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    v = np.ascontiguousarray(verts, np.float32)
+    f = np.ascontiguousarray(faces, np.int32)
+    out_v = np.empty_like(v)
+    out_f = np.empty_like(f)
+    nv = ctypes.c_int(0)
+    nf = ctypes.c_int(0)
+    rc = lib.dsu_decimate(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(v),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(f),
+        int(target_faces),
+        out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ctypes.byref(nv), ctypes.byref(nf))
+    assert rc == 0
+    return out_v[: nv.value].copy(), out_f[: nf.value].astype(np.int64).copy()
+
+
+def rasterize(verts: np.ndarray, faces: np.ndarray, width: int, height: int,
+              z_mode: int = 0):
+    """Z-buffer rasterization. verts (V,3) with x,y in pixel coords.
+    Returns (depth (H,W), face_id (H,W) int32 −1=bg, bary (H,W,3))."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    v = np.ascontiguousarray(verts, np.float32)
+    f = np.ascontiguousarray(faces, np.int32)
+    depth = np.empty((height, width), np.float32)
+    face_id = np.empty((height, width), np.int32)
+    bary = np.empty((height, width, 3), np.float32)
+    lib.dsu_rasterize(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(v),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(f),
+        width, height, z_mode,
+        depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        face_id.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        bary.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return depth, face_id, bary
+
+
+def raycast_z(verts: np.ndarray, faces: np.ndarray, queries: np.ndarray,
+              direction: int):
+    """±z raycast: queries (Q,3) with x,y in the same coords as verts.
+    Returns (hit_z (Q,), hit_face (Q,) int32 −1=miss)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    v = np.ascontiguousarray(verts, np.float32)
+    f = np.ascontiguousarray(faces, np.int32)
+    q = np.ascontiguousarray(queries, np.float32)
+    hz = np.empty((len(q),), np.float32)
+    hf = np.empty((len(q),), np.int32)
+    lib.dsu_raycast_z(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(v),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(f),
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(q),
+        int(direction),
+        hz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        hf.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return hz, hf

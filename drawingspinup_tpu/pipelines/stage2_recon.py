@@ -1,0 +1,344 @@
+"""Stage 2b — NSR reconstruction pipeline (recon.py equivalent).
+
+Parity with the reference flow (``recon.py`` + ``instant_nsr/``):
+  mv/{color,normal,mask}/<view>.png → on-device NeuS training (3000 steps)
+  → coarse/fine isosurface with front-mask carving → quadric remesh (50k)
+  → thinning / smoothing / color back-projection / shear → OBJ.
+
+Dataset conventions mirror ``instant_nsr/datasets/ortho.py``: per-uid view
+fallbacks (:113-127), normals world-transformed through the front view
+(:79-87), masks binarized at 127, the front mask rotated 90° clockwise for
+isosurface carving (:153-158).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drawingspinup_tpu import native
+from drawingspinup_tpu.core import Config, UidPaths
+from drawingspinup_tpu.core.io import read_image, write_image
+from drawingspinup_tpu.models.fields import sdf_forward
+from drawingspinup_tpu.models.hashgrid import progressive_mask
+from drawingspinup_tpu.render import mesh_post
+from drawingspinup_tpu.render.cameras import opengl_to_opencv, view_matrices, w2c_opengl
+from drawingspinup_tpu.render.marching import extract_isosurface
+from drawingspinup_tpu.train import nsr
+
+# per-uid reduced view sets (reference ortho.py:113-127)
+TWO_VIEW_UIDS = {"025dc91b146d4f57bd114e07165ff7bd",
+                 "b03fed9c34f64114a62c7a963fa804e5",
+                 "e91d8a6d3aa444f9b10f3a14a6e0a287"}
+FOUR_VIEW_UIDS = {"b32e37e2f0354f569ea9265d753891f7",
+                  "b718c3fb937a416b9fe49ff984a1504e",
+                  "d12bed5708ed42f2b615b7911c0291fa",
+                  "d2f443e21595431f9f2cd580f291f51b"}
+SIX_VIEWS = ["front", "front_right", "right", "back", "left", "front_left"]
+
+
+def views_for_uid(uid: str) -> List[str]:
+    if uid in TWO_VIEW_UIDS:
+        return ["front", "back"]
+    if uid in FOUR_VIEW_UIDS:
+        return ["front", "front_right", "back", "front_left"]
+    return SIX_VIEWS
+
+
+def load_ortho_data(paths: UidPaths, im_size: int = 1024
+                    ) -> Dict[str, jnp.ndarray]:
+    """Load the per-uid multi-view set into device arrays for the trainer."""
+    views = views_for_uid(paths.uid)
+    c2ws, _ = view_matrices(views)
+    # front-view rotation for normal world transform (normal_system='front')
+    front_w2c = opengl_to_opencv(w2c_opengl("front"))
+    rot_front_c2w = front_w2c[:3, :3].T
+
+    gl2cv = np.array([1.0, -1.0, -1.0], np.float32)
+
+    images, normals, masks = [], [], []
+    for view in views:
+        color = read_image(paths.mv("color", view))[..., :3]
+        normal_img = read_image(paths.mv("normal", view))[..., :3]
+        mask = read_image(paths.mv("mask", view))[..., 0]
+        if color.shape[0] != im_size:
+            from PIL import Image
+            def rs(a, mode):
+                img = Image.fromarray(
+                    (np.clip(a, 0, 1) * 255).astype(np.uint8))
+                return np.asarray(img.resize((im_size, im_size), mode),
+                                  np.float32) / 255.0
+            color = rs(color, Image.LANCZOS)
+            normal_img = rs(normal_img, Image.LANCZOS)
+            mask = rs(mask[..., None].repeat(3, -1), Image.NEAREST)[..., 0]
+        normal = normal_img * 2.0 - 1.0
+        m = mask > (127 / 255)
+        normal[~m] = 0.0
+        normal_cv = normal * gl2cv[None, None, :]
+        normal_world = normal_cv @ rot_front_c2w.T
+        images.append(color)
+        normals.append(normal_world)
+        masks.append(m.astype(np.float32))
+
+    return {
+        "images": jnp.asarray(np.stack(images), jnp.float32),
+        "normals": jnp.asarray(np.stack(normals), jnp.float32),
+        "masks": jnp.asarray(np.stack(masks), jnp.float32),
+        "view_weights": jnp.ones((len(views),), jnp.float32),
+        "c2w": jnp.asarray(c2ws, jnp.float32),
+    }
+
+
+def load_front_mask(paths: UidPaths) -> Optional[np.ndarray]:
+    """char/mask.png rotated 90° clockwise — the [x, z]-indexed carving mask
+    (reference ortho.py:153-158)."""
+    if not os.path.exists(paths.mask):
+        return None
+    m = read_image(paths.mask)[..., 0]
+    return np.rot90(m, k=-1).copy()
+
+
+# ---------------------------------------------------------------------------
+# isosurface extraction (reference geometry.py:83-117 + MarchingCubeHelper)
+# ---------------------------------------------------------------------------
+
+def eval_sdf_grid(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
+                  vmax: np.ndarray, resolution: int,
+                  chunk: int = 262144, step: int = 10 ** 9) -> np.ndarray:
+    """SDF on a res³ grid spanning [vmin, vmax], evaluated on device in
+    chunks. Returns (res, res, res) float32, meshgrid 'ij' (x, y, z)."""
+    lin = [np.linspace(vmin[k], vmax[k], resolution, dtype=np.float32)
+           for k in range(3)]
+    level_mask = progressive_mask(cfg.sdf.grid, jnp.asarray(step))
+
+    @jax.jit
+    def _eval(pts):
+        sdf, _ = sdf_forward(cfg.sdf, params["geometry"], pts, level_mask)
+        return sdf
+
+    xs, ys, zs = np.meshgrid(*lin, indexing="ij")
+    pts = np.stack([xs, ys, zs], axis=-1).reshape(-1, 3)
+    out = np.empty((pts.shape[0],), np.float32)
+    for i in range(0, len(pts), chunk):
+        seg = pts[i:i + chunk]
+        pad = chunk - len(seg)
+        if pad:
+            seg = np.concatenate([seg, np.zeros((pad, 3), np.float32)])
+        out[i:i + chunk] = np.asarray(_eval(jnp.asarray(seg)))[: chunk - pad] \
+            if pad else np.asarray(_eval(jnp.asarray(seg)))
+    return out.reshape(resolution, resolution, resolution)
+
+
+def isosurface(cfg: nsr.NSRConfig, params, resolution: int = 512,
+               front_mask: Optional[np.ndarray] = None,
+               face_count: int = 50000, remeshing: bool = True,
+               chunk: int = 262144) -> Tuple[np.ndarray, np.ndarray]:
+    """Two-pass (coarse → bbox → fine) extraction with optional front-mask
+    carving, smoothing of the binary field, and quadric remesh."""
+    r = cfg.radius
+    # coarse pass at a reduced resolution — only the bbox matters
+    coarse_res = min(resolution, 128)
+    level = eval_sdf_grid(cfg, params, np.array([-r] * 3), np.array([r] * 3),
+                          coarse_res, chunk)
+    v_c, _ = extract_isosurface((level <= 0).astype(np.float32), sigma=1.0)
+    if len(v_c) == 0:
+        raise RuntimeError("empty isosurface (no negative SDF region)")
+    v_c = v_c / (coarse_res - 1) * 2 * r - r
+    vmin = np.clip(v_c.min(0) - (v_c.max(0) - v_c.min(0)) * 0.1, -r, r)
+    vmax = np.clip(v_c.max(0) + (v_c.max(0) - v_c.min(0)) * 0.1, -r, r)
+
+    level = eval_sdf_grid(cfg, params, vmin, vmax, resolution, chunk)
+    binary = (level <= 0)
+    if front_mask is not None:
+        size = front_mask.shape[0] / 2
+        x0 = int(np.floor(vmin[0] * size + size))
+        x1 = int(np.ceil(vmax[0] * size + size))
+        z0 = int(np.floor(vmin[2] * size + size))
+        z1 = int(np.ceil(vmax[2] * size + size))
+        crop = front_mask[max(x0, 0):x1, max(z0, 0):z1]
+        from PIL import Image
+        crop = np.asarray(Image.fromarray(
+            (np.clip(crop, 0, 1) * 255).astype(np.uint8)).resize(
+            (resolution, resolution), Image.BICUBIC), np.float32)
+        carve = np.tile(crop[:, None, :], (1, resolution, 1)) > 127
+        binary = binary & carve
+
+    verts, faces = extract_isosurface(binary.astype(np.float32), sigma=1.0)
+    verts = verts / (resolution - 1)
+    verts = vmin[None, :] + verts * (vmax - vmin)[None, :]
+    if remeshing and len(faces) > face_count:
+        verts, faces = mesh_post.remesh(verts, faces, face_count)
+    return verts, faces
+
+
+# ---------------------------------------------------------------------------
+# top-level per-uid reconstruction
+# ---------------------------------------------------------------------------
+
+def export_name(max_steps: int, mc_res: int, face_count: int, cutting: bool,
+                remeshing: bool, thinning: bool, smoothing: bool,
+                color_bp: bool) -> str:
+    """Reference save-name builder (neus_ortho.py:182-200)."""
+    name = f"it{max_steps}-mc{mc_res}-f{face_count}"
+    if cutting:
+        name += "_c"
+    if remeshing:
+        name += "_r"
+    if thinning:
+        name += "_t"
+    if smoothing:
+        name += "_s"
+    name += "_cbp" if color_bp else ""
+    return name
+
+
+def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
+              mc_resolution: int = 512, face_count: int = 50000,
+              thinning: bool = False, thinning_type: str = "double",
+              smoothing: bool = True, shearing: bool = True,
+              color_back_projection: bool = True, ortho_scale: float = 1.35,
+              front_cutting: bool = True, seed: int = 123456,
+              im_size: int = 1024, log_every: int = 100,
+              export_uv: bool = False) -> str:
+    """Train NeuS on one uid's mv/ set and export the post-processed mesh."""
+    paths = UidPaths(root, uid)
+    data = load_ortho_data(paths, im_size=im_size)
+    front_mask = load_front_mask(paths)
+
+    tx = nsr.make_optimizer(cfg)
+    state = nsr.init_state(cfg, jax.random.PRNGKey(seed))
+    key = jax.random.PRNGKey(seed + 1)
+    t0 = time.time()
+    for step in range(cfg.max_steps):
+        key, k = jax.random.split(key)
+        state, logs = nsr.train_step(cfg, tx, state, data, k)
+        if log_every and step % log_every == 0:
+            print(f"[recon {uid}] step {step}: "
+                  f"loss={float(logs['loss']):.4f} "
+                  f"mask={float(logs['loss_mask']):.4f} "
+                  f"inv_s={float(logs['inv_s']):.1f}")
+    train_time = time.time() - t0
+
+    verts, faces = isosurface(
+        cfg, state.params, resolution=mc_resolution,
+        front_mask=front_mask if front_cutting else None,
+        face_count=face_count)
+
+    # colors for the non-backprojection path: albedo from the radiance field
+    vert_colors = None
+    if not color_back_projection:
+        from drawingspinup_tpu.models.fields import (
+            radiance_forward, sdf_with_grad,
+        )
+        level_mask = progressive_mask(cfg.sdf.grid, jnp.asarray(10 ** 9))
+        sdf, grad, feat = sdf_with_grad(cfg.sdf, state.params["geometry"],
+                                        jnp.asarray(verts), 1e-3, level_mask)
+        n = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1, keepdims=True),
+                               1e-9)
+        vert_colors = np.asarray(radiance_forward(
+            cfg.radiance, state.params["texture"], feat, -n, n))
+
+    front_color = read_image(paths.mv("color", "front"))[..., :3] \
+        if color_back_projection else None
+    back_color = read_image(paths.mv("color", "back"))[..., :3] \
+        if color_back_projection else None
+    drawing_mask = read_image(paths.mask)[..., 0] \
+        if os.path.exists(paths.mask) else None
+
+    name = export_name(cfg.max_steps, mc_resolution, face_count,
+                       front_cutting, True, thinning, smoothing,
+                       color_back_projection)
+    out_path = os.path.join(paths.mesh_dir, name + ".obj")
+    mesh_post.save_mesh(
+        out_path, verts, faces, vert_colors=vert_colors,
+        front_mask=drawing_mask, front_color=front_color,
+        back_color=back_color, thinning=thinning,
+        thinning_type=thinning_type, smoothing=smoothing,
+        color_back_projection=color_back_projection, shearing=shearing,
+        ortho_scale=ortho_scale, export_uv=export_uv)
+    print(f"[recon {uid}] trained {cfg.max_steps} steps in {train_time:.1f}s "
+          f"→ {out_path}")
+    return out_path
+
+
+def nsr_config_from_yaml(cfg: Config) -> nsr.NSRConfig:
+    """Map the reference neuralangelo-ortho-wmask.yaml knobs → NSRConfig."""
+    import dataclasses
+
+    from drawingspinup_tpu.models.fields import (
+        MLPConfig, RadianceConfig, SDFFieldConfig,
+    )
+    from drawingspinup_tpu.models.hashgrid import HashGridConfig
+
+    m = cfg.get("model", Config())
+    geo = m.get("geometry", Config())
+    enc = geo.get("xyz_encoding_config", Config())
+    mlp = geo.get("mlp_network_config", Config())
+    tex = m.get("texture", Config())
+    tmlp = tex.get("mlp_network_config", Config())
+    loss = cfg.get("system", Config()).get("loss", Config())
+    trainer = cfg.get("trainer", Config())
+    optp = cfg.get("system", Config()).get("optimizer", Config()) \
+        .get("params", Config())
+
+    grid = HashGridConfig(
+        n_levels=enc.get("n_levels", 10),
+        n_features_per_level=enc.get("n_features_per_level", 2),
+        log2_hashmap_size=enc.get("log2_hashmap_size", 19),
+        base_resolution=enc.get("base_resolution", 32),
+        per_level_scale=enc.get("per_level_scale", 1.3195079107728942),
+        include_xyz=enc.get("include_xyz", True),
+        start_level=enc.get("start_level", 4),
+        start_step=enc.get("start_step", 0),
+        update_steps=enc.get("update_steps", 1000),
+    )
+    sdf = SDFFieldConfig(
+        radius=m.get("radius", 1.0),
+        feature_dim=geo.get("feature_dim", 13),
+        grid=grid,
+        mlp=MLPConfig(n_neurons=mlp.get("n_neurons", 64),
+                      n_hidden_layers=mlp.get("n_hidden_layers", 1),
+                      sphere_init=mlp.get("sphere_init", True),
+                      sphere_init_radius=mlp.get("sphere_init_radius", 0.5),
+                      weight_norm=mlp.get("weight_norm", True)),
+    )
+    radiance = RadianceConfig(
+        input_feature_dim=tex.get("input_feature_dim",
+                                  geo.get("feature_dim", 13) + 3),
+        mlp=MLPConfig(n_neurons=tmlp.get("n_neurons", 64),
+                      n_hidden_layers=tmlp.get("n_hidden_layers", 2),
+                      output_activation="sigmoid"),
+    )
+    lw = nsr.LossWeights(
+        lambda_rgb_mse=loss.get("lambda_rgb_mse", 0.5),
+        lambda_rgb_l1=loss.get("lambda_rgb_l1", 0.0),
+        lambda_mask=loss.get("lambda_mask", 1.0),
+        lambda_eikonal=loss.get("lambda_eikonal", 0.2),
+        lambda_normal=loss.get("lambda_normal", 1.0),
+        lambda_3d_normal_smooth=loss.get("lambda_3d_normal_smooth", 1.0),
+        lambda_sparsity=loss.get("lambda_sparsity", 0.5),
+        sparsity_scale=loss.get("sparsity_scale", 100.0),
+        geo_aware=loss.get("geo_aware", True),
+        rgb_p_ratio=loss.get("rgb_p_ratio", 0.8),
+        normal_p_ratio=loss.get("normal_p_ratio", 0.8),
+        mask_p_ratio=loss.get("mask_p_ratio", 0.9),
+    )
+    return nsr.NSRConfig(
+        radius=m.get("radius", 1.0),
+        sdf=sdf, radiance=radiance,
+        variance_init=m.get("variance", Config()).get("init_val", 0.3),
+        cos_anneal_end=m.get("cos_anneal_end", 20000),
+        train_num_rays=m.get("train_num_rays_fixed", 2048),
+        randomized=m.get("randomized", True),
+        loss=lw,
+        max_steps=trainer.get("max_steps", 3000),
+        constant_steps=cfg.get("system", Config()).get("constant_steps", 500),
+        lr_geometry=optp.get("geometry", Config()).get("lr", 1e-3),
+        lr_texture=optp.get("texture", Config()).get("lr", 1e-2),
+        lr_variance=optp.get("variance", Config()).get("lr", 1e-3),
+        ray_chunk=m.get("ray_chunk", 4096),
+    )

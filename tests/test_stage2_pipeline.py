@@ -1,0 +1,104 @@
+"""End-to-end stage-2b test: synthetic sphere mv/ dataset → recon CLI →
+exported OBJ with the reference naming scheme."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from drawingspinup_tpu import native
+from drawingspinup_tpu.core import UidPaths
+from drawingspinup_tpu.core.io import read_obj, write_image
+
+
+def write_sphere_mv(root, uid, size=64, radius=0.45):
+    """Render analytic sphere views into the mv/ contract layout."""
+    from drawingspinup_tpu.render.cameras import (
+        opengl_to_opencv, ortho_ray_grid, rays_to_world, view_matrices,
+        w2c_opengl,
+    )
+    paths = UidPaths(str(root), uid)
+    views = ["front", "front_right", "right", "back", "left", "front_left"]
+    c2ws, w2cs = view_matrices(views)
+    origins, dirs = ortho_ray_grid(size, size)
+    front_w2c = opengl_to_opencv(w2c_opengl("front"))
+    gl2cv = np.array([1.0, -1.0, -1.0], np.float32)
+    for view, c2w, w2c in zip(views, c2ws, w2cs):
+        ro, rd = rays_to_world(origins.reshape(-1, 3), dirs.reshape(-1, 3),
+                               c2w)
+        b = np.sum(ro * rd, -1)
+        c = np.sum(ro * ro, -1) - radius ** 2
+        disc = b * b - c
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0))
+        p = ro + t[:, None] * rd
+        n_world = p / radius
+        color = np.clip(0.5 + 0.5 * n_world, 0, 1)
+        color = np.where(hit[:, None], color, 0).reshape(size, size, 3)
+        # normals are stored in the FRONT view camera system as images:
+        # n_front_cam_cv = R_front_w2c @ n_world, then cv→gl flip, →[0,1]
+        n_cam = n_world @ front_w2c[:3, :3].T
+        n_gl = n_cam * gl2cv
+        nimg = np.where(hit[:, None], n_gl * 0.5 + 0.5, 0.5)
+        nimg = nimg.reshape(size, size, 3)
+        mask = hit.reshape(size, size).astype(np.float32)
+        write_image(paths.mv("color", view), color)
+        write_image(paths.mv("normal", view), np.where(mask[..., None] > 0,
+                                                       nimg, 0.0))
+        write_image(paths.mv("mask", view), mask)
+    # front drawing mask for carving/thinning
+    m = np.asarray(
+        np.hypot(*np.mgrid[-1:1:size * 1j, -1:1:size * 1j]) < radius * 2,
+        np.float32)
+    write_image(paths.mask, m)
+    return paths
+
+
+TINY_OVERRIDES = [
+    "trainer.max_steps=120",
+    "system.constant_steps=40",
+    "dataset.imSize=[64, 64]",
+    "model.train_num_rays_fixed=256",
+    "model.geometry.isosurface.resolution=64",
+    "model.geometry.face_count=3000",
+    "model.geometry.xyz_encoding_config.n_levels=4",
+    "model.geometry.xyz_encoding_config.log2_hashmap_size=13",
+    "model.geometry.xyz_encoding_config.base_resolution=8",
+    "model.geometry.xyz_encoding_config.start_level=4",
+    "model.geometry.mlp_network_config.n_neurons=32",
+    "model.texture.mlp_network_config.n_neurons=32",
+    "export.thinning=false",
+]
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_recon_end_to_end(tmp_path):
+    from drawingspinup_tpu.cli import recon as recon_cli
+    from drawingspinup_tpu.core.io import write_image as wi
+
+    paths = write_sphere_mv(tmp_path, "sphere_uid")
+    uid_file = tmp_path / "uids.json"
+    uid_file.write_text(json.dumps(["sphere_uid"]))
+
+    rc = recon_cli.main([
+        "--uid", "sphere_uid", "--root", str(tmp_path),
+        f"dataset.uid_list_file={uid_file}",
+    ] + TINY_OVERRIDES)
+    assert rc == 0
+
+    out = paths.mesh_dir
+    objs = [f for f in os.listdir(out) if f.endswith(".obj")]
+    assert objs, "no OBJ exported"
+    name = objs[0]
+    assert name.startswith("it120-mc64-f3000_c_r_s")
+    v, f, c = read_obj(os.path.join(out, name))
+    assert len(v) > 100 and len(f) > 100
+    assert c is not None
+    # mesh should approximate the sphere: radius ≈ 0.45·0.5·1.35 after
+    # export scaling (×0.5 then ×ortho_scale)
+    r = np.linalg.norm(v, axis=1)
+    expected = 0.45 * 0.5 * 1.35
+    assert abs(np.median(r) - expected) / expected < 0.35, \
+        (np.median(r), expected)
