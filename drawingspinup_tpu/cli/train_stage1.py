@@ -1,0 +1,23 @@
+"""Stage-3 CLI — train the stage-1 style translator for one uid
+(reference ``3_style_translator/train_stage1.py`` user surface)."""
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--uid", required=True)
+    ap.add_argument("--root", default="../dataset/AnimatedDrawings/preprocessed")
+    ap.add_argument("--no_mask", action="store_true")
+    ap.add_argument("--no_pos", action="store_true")
+    ap.add_argument("--max-batches", type=int, default=None)
+    args = ap.parse_args(argv)
+    from drawingspinup_tpu.pipelines import stage3_translate as st
+    st.train_stage(args.root, args.uid, 1, use_mask=not args.no_mask,
+                   use_pos=not args.no_pos, max_batches=args.max_batches)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,177 @@
+"""Stage-3 orchestration: train/test the style translator per uid.
+
+Reference flow (``3_style_translator/train_stage{1,2}.py``,
+``test_stage{1,2}.py``, ``training/trainers.py``):
+  stage 1: GeneratorJ_RIC on (color ⊕ mask ⊕ pos.xy), target =
+           char/ffc_resnet_inpainted.png, 3 epochs, results → res_stage1_*;
+  stage 2: GeneratorJ on stage-1 results WITH edge overlay, target =
+           char/texture_with_bg.png, 2 epochs, results → res_stage2_*.
+  An epoch = n_valid_pixels / batch_size batches; full-image eval +
+  checkpoint every log_interval batches and at the end (model_99999).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from drawingspinup_tpu.core import UidPaths
+from drawingspinup_tpu.core.io import read_image, write_image
+from drawingspinup_tpu.pipelines import stage3_data
+from drawingspinup_tpu.train import gan
+
+FINAL_STEP = 99999
+
+
+def stage_settings(stage: int, use_mask: bool = True, use_pos: bool = True):
+    """Per-stage wiring (reference config_stage{1,2}.yaml + train CLIs)."""
+    if stage == 1:
+        return dict(generator="GeneratorJ_RIC", pre_dir="color",
+                    post_name="ffc_resnet_inpainted", epochs=3,
+                    use_edge=False, use_mask=use_mask, use_pos=use_pos)
+    return dict(generator="GeneratorJ", pre_dir=None,  # filled from stage-1
+                post_name="texture_with_bg", epochs=2,
+                use_edge=True, use_mask=use_mask, use_pos=use_pos)
+
+
+def log_name_for(stage: int, use_mask: bool, use_pos: bool) -> str:
+    name = f"logs_stage{stage}"
+    if use_mask:
+        name += "_mask"
+    if use_pos:
+        name += "_pos"
+    return name
+
+
+def res_dir_name(stage: int, use_mask: bool, use_pos: bool) -> str:
+    return log_name_for(stage, use_mask, use_pos).replace("logs", "res")
+
+
+def _input_channels(use_mask: bool, use_pos: bool) -> int:
+    return 3 + (1 if use_mask else 0) + (2 if use_pos else 0)
+
+
+def make_config(stage: int, use_mask: bool = True, use_pos: bool = True,
+                **overrides) -> gan.GANConfig:
+    s = stage_settings(stage, use_mask, use_pos)
+    return gan.GANConfig(
+        generator=s["generator"],
+        input_channels=_input_channels(use_mask, use_pos),
+        epochs=s["epochs"],
+        **overrides)
+
+
+def pre_dir_for_stage(stage: int, use_mask: bool, use_pos: bool) -> str:
+    if stage == 1:
+        return "color"
+    return res_dir_name(1, use_mask, use_pos)
+
+
+def post_path_for_stage(paths: UidPaths, stage: int) -> str:
+    if stage == 1:
+        p = paths.inpainted
+        if not os.path.exists(p):
+            p = paths.texture_with_bg  # reference fallback (data.py:80-81)
+        return p
+    return paths.texture_with_bg
+
+
+def test_on_full_images(cfg: gan.GANConfig, state: gan.GANState,
+                        render_root: str, actions: List[str], res_name: str,
+                        use_mask: bool, use_pos: bool, use_edge: bool,
+                        pre_dir: str) -> List[str]:
+    """Run the generator over every frame of every action dir, writing RGBA
+    results (reference trainers.py:213-232)."""
+    written = []
+    for action in actions:
+        action_dir = os.path.join(render_root, action)
+        src = os.path.join(action_dir, pre_dir)
+        if not os.path.isdir(src):
+            continue
+        out_dir = os.path.join(action_dir, res_name)
+        os.makedirs(out_dir, exist_ok=True)
+        for fname in sorted(os.listdir(src)):
+            if not fname.endswith(".png"):
+                continue
+            frame, mask = stage3_data.load_full_frame(
+                action_dir, fname, use_mask, use_pos, use_edge,
+                pre_dir=pre_dir)
+            rgb = gan.generate_full(cfg, state, frame)
+            rgba = np.concatenate([rgb, mask[..., None]], axis=-1)
+            out_path = os.path.join(out_dir, fname)
+            write_image(out_path, rgba)
+            written.append(out_path)
+    return written
+
+
+def train_stage(root: str, uid: str, stage: int, use_mask: bool = True,
+                use_pos: bool = True, seed: int = 0,
+                cfg: Optional[gan.GANConfig] = None,
+                max_batches: Optional[int] = None,
+                eval_actions: Optional[List[str]] = None) -> gan.GANState:
+    paths = UidPaths(root, uid)
+    s = stage_settings(stage, use_mask, use_pos)
+    cfg = cfg or make_config(stage, use_mask, use_pos)
+    render_root = paths.render_dir
+    pre_dir = pre_dir_for_stage(stage, use_mask, use_pos)
+    rest_dir = os.path.join(render_root, "rest_pose")
+    if not os.path.isdir(rest_dir):
+        rest_dir = os.path.join(render_root, "rest_rotate")
+
+    data = stage3_data.load_keyframe_pair(
+        rest_dir, pre_dir, post_path_for_stage(paths, stage),
+        use_mask=use_mask, use_pos=use_pos, use_edge=s["use_edge"])
+
+    log_dir = os.path.join(paths.mesh_dir,
+                           log_name_for(stage, use_mask, use_pos))
+    os.makedirs(log_dir, exist_ok=True)
+    res_name = res_dir_name(stage, use_mask, use_pos)
+    actions = eval_actions if eval_actions is not None else sorted(
+        d for d in os.listdir(render_root)
+        if os.path.isdir(os.path.join(render_root, d)))
+
+    state = gan.init_state(cfg, jax.random.PRNGKey(seed))
+    n_valid = int(data.valid_yx.shape[0])
+    batches_per_epoch = max(n_valid // cfg.batch_size, 1)
+    total = cfg.epochs * batches_per_epoch
+    if max_batches is not None:
+        total = min(total, max_batches)
+    key = jax.random.PRNGKey(seed + 1)
+    t0 = time.time()
+    for b in range(total):
+        key, k = jax.random.split(key)
+        state, logs = gan.train_step(cfg, state, data, k)
+        if (b + 1) % cfg.log_interval == 0:
+            print(f"[stage{stage} {uid}] batch {b + 1}/{total} "
+                  f"g={float(logs['g_loss']):.4f} "
+                  f"d={float(logs['d_loss']):.4f}")
+            gan.save_checkpoint(log_dir, state, b + 1)
+            test_on_full_images(cfg, state, render_root, actions, res_name,
+                                use_mask, use_pos, s["use_edge"], pre_dir)
+    gan.save_checkpoint(log_dir, state, FINAL_STEP)
+    test_on_full_images(cfg, state, render_root, actions, res_name,
+                        use_mask, use_pos, s["use_edge"], pre_dir)
+    print(f"[stage{stage} {uid}] {total} batches in {time.time() - t0:.1f}s")
+    return state
+
+
+def test_stage(root: str, uid: str, stage: int, use_mask: bool = True,
+               use_pos: bool = True, model_id: int = FINAL_STEP,
+               cfg: Optional[gan.GANConfig] = None) -> List[str]:
+    paths = UidPaths(root, uid)
+    s = stage_settings(stage, use_mask, use_pos)
+    cfg = cfg or make_config(stage, use_mask, use_pos)
+    log_dir = os.path.join(paths.mesh_dir,
+                           log_name_for(stage, use_mask, use_pos))
+    state = gan.init_state(cfg, jax.random.PRNGKey(0))
+    state = gan.load_checkpoint(log_dir, state, model_id)
+    render_root = paths.render_dir
+    actions = sorted(d for d in os.listdir(render_root)
+                     if os.path.isdir(os.path.join(render_root, d)))
+    return test_on_full_images(
+        cfg, state, render_root, actions,
+        res_dir_name(stage, use_mask, use_pos), use_mask, use_pos,
+        s["use_edge"], pre_dir_for_stage(stage, use_mask, use_pos))

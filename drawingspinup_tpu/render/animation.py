@@ -1,0 +1,225 @@
+"""Skinned-mesh animation rendering — the Blender replacement.
+
+Capability parity with ``3_style_translator/blender_animation.py`` +
+``run_render.py``: import the retargeted FBX, (re)bind skin weights in rest
+pose, evaluate the animation, auto-frame an orthographic camera over ALL
+frames (recenter + grow the render size beyond 512 when motion exceeds the
+1.35 ortho scale, multiple of 4), and render two passes per frame — vertex
+COLOR (from the reconstructed OBJ) and NOCS POS (normalized rest positions)
+— plus the Sobel EDGE maps.
+
+TPU split: linear-blend skinning for ALL frames runs as one jitted einsum
+batch on device; per-frame z-buffer rasterization runs in the native C++
+rasterizer (native/raster.cc); edges via the JAX Sobel op.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drawingspinup_tpu import native
+from drawingspinup_tpu.core.io import read_obj, write_image
+from drawingspinup_tpu.ops.image import edge_from_pos
+from drawingspinup_tpu.render import fbx as F
+
+ORTHO_SCALE = 1.35
+BASE_RES = 512
+
+
+# ---------------------------------------------------------------------------
+# skin weights
+# ---------------------------------------------------------------------------
+
+def cluster_weights(scene: F.FbxScene, n_verts: int
+                    ) -> Tuple[np.ndarray, List[int]]:
+    """Dense (V, B) weights from the FBX skin clusters."""
+    bones = [c.bone_model for c in scene.clusters]
+    w = np.zeros((n_verts, len(bones)), np.float32)
+    for bi, c in enumerate(scene.clusters):
+        ok = c.indexes < n_verts
+        w[c.indexes[ok], bi] = c.weights[ok]
+    return w, bones
+
+
+def auto_weights(rest_verts: np.ndarray, bone_heads: np.ndarray,
+                 bone_tails: np.ndarray, k: int = 4,
+                 power: float = 2.0) -> np.ndarray:
+    """Automatic nearest-bone weights (replaces Blender's
+    ``weight_from_bones(type='AUTOMATIC')``, blender_animation.py:39-44):
+    inverse-distance^power to the k nearest bone SEGMENTS, normalized."""
+    v = rest_verts[:, None, :]                          # (V, 1, 3)
+    a = bone_heads[None]                                # (1, B, 3)
+    b = bone_tails[None]
+    ab = b - a
+    denom = np.maximum((ab * ab).sum(-1), 1e-12)
+    t = np.clip(((v - a) * ab).sum(-1) / denom, 0.0, 1.0)
+    closest = a + t[..., None] * ab
+    d = np.linalg.norm(v - closest, axis=-1)            # (V, B)
+    if d.shape[1] > k:
+        kth = np.partition(d, k - 1, axis=1)[:, k - 1: k]
+        w = np.where(d <= kth, 1.0 / (d + 1e-6) ** power, 0.0)
+    else:
+        w = 1.0 / (d + 1e-6) ** power
+    return (w / np.maximum(w.sum(1, keepdims=True), 1e-12)).astype(np.float32)
+
+
+@jax.jit
+def skin_all_frames(rest_verts: jnp.ndarray, weights: jnp.ndarray,
+                    skin_mats: jnp.ndarray) -> jnp.ndarray:
+    """Linear-blend skinning, all frames at once.
+    rest_verts (V,3), weights (V,B), skin_mats (T,B,4,4) → (T,V,3).
+    One big einsum — maps straight onto the MXU."""
+    vh = jnp.concatenate(
+        [rest_verts, jnp.ones_like(rest_verts[:, :1])], axis=-1)   # (V,4)
+    # per-bone transformed verts contracted against weights:
+    # out[t,v,:] = Σ_b w[v,b] · (M[t,b] @ vh[v])
+    tv = jnp.einsum("tbij,vj->tbvi", skin_mats, vh)                # (T,B,V,4)
+    out = jnp.einsum("vb,tbvi->tvi", weights, tv)
+    return out[..., :3]
+
+
+def bone_endpoints(scene: F.FbxScene, bones: Sequence[int]
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Rest-pose bone segment endpoints: head = bind world origin
+    (TransformLink), tail = mean of children heads (or head + small z)."""
+    heads = {}
+    for c in scene.clusters:
+        heads[c.bone_model] = c.transform_link[:3, 3]
+    children: Dict[int, List[int]] = {}
+    for uid, m in scene.models.items():
+        if m.parent is not None:
+            children.setdefault(m.parent, []).append(uid)
+    hs, ts = [], []
+    for b in bones:
+        h = heads[b]
+        ch = [heads[c] for c in children.get(b, []) if c in heads]
+        t = np.mean(ch, axis=0) if ch else h + np.array([0, 0, 1e-3])
+        hs.append(h)
+        ts.append(t)
+    return np.asarray(hs, np.float32), np.asarray(ts, np.float32)
+
+
+# ---------------------------------------------------------------------------
+# camera auto-framing (blender_animation.py:45-77)
+# ---------------------------------------------------------------------------
+
+def auto_frame(all_verts: np.ndarray) -> Tuple[np.ndarray, float, int]:
+    """all_verts (T,V,3) world (x right, y depth, z up) → (delta_location,
+    ortho_scale, render_size)."""
+    mins = all_verts.reshape(-1, 3).min(0)
+    maxs = all_verts.reshape(-1, 3).max(0)
+    delta = np.array([-(maxs[0] + mins[0]) / 2,
+                      maxs[1] - mins[1],
+                      -(maxs[2] + mins[2]) / 2])
+    ratio = max(maxs[0] - mins[0], maxs[2] - mins[2])
+    scale, size = ORTHO_SCALE, BASE_RES
+    if ratio > ORTHO_SCALE:
+        size = int(BASE_RES / ORTHO_SCALE * ratio)
+        if size % 4:
+            size += 4 - size % 4
+        scale = ORTHO_SCALE * (size / BASE_RES)
+    return delta, scale, size
+
+
+# ---------------------------------------------------------------------------
+# pass rendering
+# ---------------------------------------------------------------------------
+
+def render_frame(verts: np.ndarray, faces: np.ndarray, attrs: np.ndarray,
+                 size: int, scale: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Rasterize one posed frame front-view (camera looks along +y):
+    pixel x ← world x, pixel row ← −world z. Returns (rgb, alpha)."""
+    px = (verts[:, 0] / scale + 0.5) * (size - 1)
+    py = (-verts[:, 2] / scale + 0.5) * (size - 1)
+    depth_axis = verts[:, 1]
+    rv = np.stack([px, py, depth_axis], axis=1).astype(np.float32)
+    depth, fid, bary = native.rasterize(rv, faces, size, size, z_mode=0)
+    hit = fid >= 0
+    img = np.zeros((size, size, attrs.shape[-1]), np.float32)
+    fa = attrs[faces[fid[hit]]]                       # (K, 3, C)
+    img[hit] = np.einsum("kjc,kj->kc", fa, bary[hit])
+    return img, hit.astype(np.float32)
+
+
+def render_animation(fbx_path: str, mesh_path: str, output_dir: str,
+                     yaw_deg: float = 0.0, base_res: int = BASE_RES,
+                     write_edges: bool = True) -> Dict[str, int]:
+    """Full color/pos/edge pass rendering for one action FBX."""
+    scene = F.load_scene(fbx_path)
+    obj_verts, obj_faces, obj_colors = read_obj(mesh_path)
+    if obj_colors is None:
+        obj_colors = np.full_like(obj_verts, 0.7)
+
+    verts = scene.vertices
+    faces = scene.faces if len(scene.faces) else obj_faces
+    if len(verts) == 0:
+        verts = obj_verts
+
+    # map OBJ attributes onto the FBX vertex order (nearest rest vertex after
+    # normalizing both to the unit bbox — robust to unit/axis rescaling)
+    def norm(v):
+        lo, hi = v.min(0), v.max(0)
+        return (v - lo) / np.maximum(hi - lo, 1e-9)
+
+    from scipy.spatial import cKDTree
+    _, nearest = cKDTree(norm(obj_verts)).query(norm(verts), 1)
+    colors = obj_colors[nearest]
+    nocs = norm(obj_verts)[nearest]     # normalized rest positions (NOCS)
+
+    # skin weights: prefer FBX clusters; re-paint automatically when absent
+    # (the reference ALWAYS repaints — we honor that when bones exist)
+    bones: List[int] = [c.bone_model for c in scene.clusters]
+    if bones:
+        heads, tails = bone_endpoints(scene, bones)
+        weights = auto_weights(verts, heads, tails)
+        inv_bind = np.stack([np.linalg.inv(c.transform_link)
+                             for c in scene.clusters])
+        bind_mesh = np.stack([c.transform for c in scene.clusters])
+        t0, t1 = scene.frame_range()
+        fps = scene.frame_rate
+        n_frames = max(int(round((t1 - t0) * fps)) + 1, 1)
+        times = t0 + np.arange(n_frames) / fps
+        bone_worlds = F.evaluate_bone_worlds(scene, times, bones)
+        skin_mats = np.einsum("tbij,bjk,bkl->tbil", bone_worlds, inv_bind,
+                              bind_mesh)
+        posed = np.asarray(skin_all_frames(
+            jnp.asarray(verts, jnp.float32),
+            jnp.asarray(weights),
+            jnp.asarray(skin_mats, jnp.float32)))
+    else:  # static mesh (rest_pose without armature)
+        posed = verts[None]
+
+    if yaw_deg:
+        a = np.deg2rad(yaw_deg)
+        rz = np.array([[np.cos(a), -np.sin(a), 0],
+                       [np.sin(a), np.cos(a), 0], [0, 0, 1]], np.float32)
+        posed = posed @ rz.T
+
+    delta, scale, size = auto_frame(posed)
+    posed = posed + delta[None, None, :]
+
+    os.makedirs(os.path.join(output_dir, "color"), exist_ok=True)
+    os.makedirs(os.path.join(output_dir, "pos"), exist_ok=True)
+    if write_edges:
+        os.makedirs(os.path.join(output_dir, "edge"), exist_ok=True)
+
+    for t in range(posed.shape[0]):
+        color, alpha = render_frame(posed[t], faces, colors, size, scale)
+        pos, _ = render_frame(posed[t], faces, nocs, size, scale)
+        rgba = np.concatenate([color, alpha[..., None]], axis=-1)
+        pos_rgba = np.concatenate([pos, alpha[..., None]], axis=-1)
+        write_image(os.path.join(output_dir, "color", f"{t + 1:04d}.png"),
+                    rgba)
+        write_image(os.path.join(output_dir, "pos", f"{t + 1:04d}.png"),
+                    pos_rgba)
+        if write_edges:
+            edge = np.asarray(edge_from_pos(jnp.asarray(pos),
+                                            jnp.asarray(alpha)))
+            # reference writes 255-edge (white background, black strokes)
+            write_image(os.path.join(output_dir, "edge", f"{t + 1:04d}.png"),
+                        1.0 - edge)
+    return {"frames": int(posed.shape[0]), "size": size}

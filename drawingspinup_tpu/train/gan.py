@@ -1,0 +1,182 @@
+"""Patch-GAN trainer for the style translator — jitted D/G steps.
+
+Parity with the reference loop (``3_style_translator/training/trainers.py``):
+  D step: MSE(D(masked fake), 0) + MSE(D(masked random-GT patch), 1)
+  G step: recon_w·L1(G(pre), post) + perc_w·L2(VGG(G(pre)) − VGG(post))
+          + adv_w·MSE(D(masked fake), 1)
+  Adam lr 4e-4 betas (0.9, 0.999) weight_decay 1e-5; batch 40 × 32² patches;
+  full-image eval + checkpoint every ``log_interval`` batches.
+
+One jitted ``train_step`` performs patch sampling (on-device), the D update
+and the G update; epochs follow the reference's notion of
+``n_valid_pixels / batch_size`` batches per epoch.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from drawingspinup_tpu.models.generator_j import (
+    DiscriminatorN_IN, GeneratorJ, GeneratorJ_RIC, PerceptualVGG19,
+)
+from drawingspinup_tpu.pipelines.stage3_data import KeyframeData, sample_patches
+
+
+@dataclasses.dataclass(frozen=True)
+class GANConfig:
+    generator: str = "GeneratorJ_RIC"      # GeneratorJ | GeneratorJ_RIC
+    filters: Tuple[int, ...] = (32, 64, 128, 128, 128, 64)
+    resnet_blocks: int = 7
+    tanh: bool = True
+    append_smoothers: bool = True
+    input_channels: int = 6                # 3 rgb + 1 mask + 2 pos
+    disc_filters: int = 12
+    disc_layers: int = 2
+    lr: float = 4e-4
+    weight_decay: float = 1e-5
+    batch_size: int = 40
+    patch_size: int = 32
+    reconstruction_weight: float = 4.0
+    perception_weight: float = 6.0
+    adversarial_weight: float = 0.5
+    log_interval: int = 1000
+    epochs: int = 3
+    use_image_loss: bool = True
+
+
+class GANState(NamedTuple):
+    g_params: Any
+    g_stats: Any
+    d_params: Any
+    vgg_params: Any
+    g_opt: Any
+    d_opt: Any
+    step: jnp.ndarray
+
+
+def build_models(cfg: GANConfig):
+    gen_cls = {"GeneratorJ": GeneratorJ, "GeneratorJ_RIC": GeneratorJ_RIC}[
+        cfg.generator]
+    gen = gen_cls(filters=cfg.filters, resnet_blocks=cfg.resnet_blocks,
+                  tanh=cfg.tanh, append_smoothers=cfg.append_smoothers)
+    disc = DiscriminatorN_IN(num_filters=cfg.disc_filters,
+                             n_layers=cfg.disc_layers)
+    vgg = PerceptualVGG19()
+    return gen, disc, vgg
+
+
+def make_optimizers(cfg: GANConfig):
+    tx = optax.adamw(cfg.lr, b1=0.9, b2=0.999, weight_decay=cfg.weight_decay)
+    return tx, tx
+
+
+def init_state(cfg: GANConfig, key: jax.Array) -> GANState:
+    gen, disc, vgg = build_models(cfg)
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = cfg.patch_size
+    x = jnp.zeros((1, p, p, cfg.input_channels), jnp.float32)
+    g_vars = gen.init(k1, x, train=True)
+    d_vars = disc.init(k2, jnp.zeros((1, p, p, 3), jnp.float32))
+    # fixed-seed VGG init → deterministic random-feature perceptual metric
+    vgg_vars = vgg.init(jax.random.PRNGKey(12345),
+                        jnp.zeros((1, p, p, 3), jnp.float32))
+    g_tx, d_tx = make_optimizers(cfg)
+    return GANState(
+        g_params=g_vars["params"], g_stats=g_vars.get("batch_stats", {}),
+        d_params=d_vars["params"], vgg_params=vgg_vars["params"],
+        g_opt=g_tx.init(g_vars["params"]), d_opt=d_tx.init(d_vars["params"]),
+        step=jnp.asarray(0, jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def train_step(cfg: GANConfig, state: GANState, data: KeyframeData,
+               key: jax.Array) -> Tuple[GANState, Dict[str, jnp.ndarray]]:
+    gen, disc, vgg = build_models(cfg)
+    g_tx, d_tx = make_optimizers(cfg)
+    k_patch, _ = jax.random.split(key)
+    batch = sample_patches(data, k_patch, cfg.batch_size, cfg.patch_size)
+
+    # ---- discriminator step ----
+    fake, _ = gen.apply({"params": state.g_params,
+                         "batch_stats": state.g_stats}, batch["pre"],
+                        train=True, mutable=["batch_stats"])
+    fake = jax.lax.stop_gradient(fake)
+
+    def d_loss_fn(d_params):
+        fake_m = fake * batch["pre_mask"]
+        true_m = batch["already"] * batch["already_mask"]
+        fl, _ = disc.apply({"params": d_params}, fake_m)
+        tl, _ = disc.apply({"params": d_params}, true_m)
+        return jnp.mean(fl ** 2) + jnp.mean((tl - 1.0) ** 2)
+
+    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+    d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+    d_params = optax.apply_updates(state.d_params, d_updates)
+
+    # ---- generator step ----
+    def g_loss_fn(g_params):
+        out, mut = gen.apply({"params": g_params,
+                              "batch_stats": state.g_stats}, batch["pre"],
+                             train=True, mutable=["batch_stats"])
+        image_loss = jnp.mean(jnp.abs(out - batch["post"])) \
+            if cfg.use_image_loss else 0.0
+        f_fake = vgg.apply({"params": state.vgg_params}, out)
+        f_real = vgg.apply({"params": state.vgg_params}, batch["post"])
+        perception_loss = jnp.mean((f_fake - f_real) ** 2)
+        fl, _ = disc.apply({"params": d_params}, out * batch["pre_mask"])
+        adversarial_loss = jnp.mean((fl - 1.0) ** 2)
+        total = (cfg.reconstruction_weight * image_loss
+                 + cfg.perception_weight * perception_loss
+                 + cfg.adversarial_weight * adversarial_loss)
+        return total, (mut["batch_stats"], image_loss, perception_loss,
+                       adversarial_loss)
+
+    (g_loss, (g_stats, img_l, perc_l, adv_l)), g_grads = \
+        jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+    g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+    g_params = optax.apply_updates(state.g_params, g_updates)
+
+    new_state = GANState(g_params, g_stats, d_params, state.vgg_params,
+                         g_opt, d_opt, state.step + 1)
+    logs = {"d_loss": d_loss, "g_loss": g_loss, "image_loss": img_l,
+            "perception_loss": perc_l, "adversarial_loss": adv_l}
+    return new_state, logs
+
+
+def generate_full(cfg: GANConfig, state: GANState,
+                  frame: np.ndarray) -> np.ndarray:
+    """Run the generator on a full frame (eval mode, running BN stats).
+    frame: (H, W, C_in) normalized → (H, W, 3) in [0,1]."""
+    gen, _, _ = build_models(cfg)
+
+    @jax.jit
+    def _run(params, stats, x):
+        return gen.apply({"params": params, "batch_stats": stats}, x,
+                         train=False)
+
+    out = _run(state.g_params, state.g_stats, jnp.asarray(frame)[None])
+    return np.asarray((out[0] + 1.0) * 0.5).clip(0, 1)
+
+
+def save_checkpoint(log_dir: str, state: GANState, step: int) -> None:
+    from drawingspinup_tpu.core import checkpoint as ckpt
+    ckpt.save(os.path.join(log_dir, f"model_{step:05d}"),
+              {"g_params": state.g_params, "g_stats": state.g_stats})
+
+
+def load_checkpoint(log_dir: str, state: GANState,
+                    step: Optional[int] = None) -> GANState:
+    from drawingspinup_tpu.core import checkpoint as ckpt
+    if step is None:
+        step = ckpt.latest_step(log_dir, prefix="model_")
+        assert step is not None, f"no checkpoints under {log_dir}"
+    tree = ckpt.restore(os.path.join(log_dir, f"model_{step:05d}"),
+                        {"g_params": state.g_params, "g_stats": state.g_stats})
+    return state._replace(g_params=tree["g_params"], g_stats=tree["g_stats"])

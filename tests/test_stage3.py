@@ -1,0 +1,178 @@
+"""Stage-3 tests: generator/discriminator shapes, RIC rotation sampling,
+patch sampling, and a short GAN training run on a synthetic pair."""
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from drawingspinup_tpu.models.generator_j import (
+    DiscriminatorN_IN, GeneratorJ, GeneratorJ_RIC, PerceptualVGG19,
+    bilinear_gather, ric_sample_positions,
+)
+from drawingspinup_tpu.pipelines import stage3_data
+from drawingspinup_tpu.train import gan
+
+
+class TestModels:
+    def test_generator_j_shapes(self, rng):
+        g = GeneratorJ(filters=(8, 16, 32, 32, 32, 16), resnet_blocks=2)
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 6)).astype(np.float32))
+        v = g.init(jax.random.PRNGKey(0), x, train=True)
+        y = g.apply(v, x, train=False)
+        assert y.shape == (2, 32, 32, 3)
+        assert float(jnp.abs(y).max()) <= 1.0  # tanh
+
+    def test_generator_ric_shapes(self, rng):
+        g = GeneratorJ_RIC(filters=(8, 16, 32, 32, 32, 16), resnet_blocks=2)
+        x = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
+        v = g.init(jax.random.PRNGKey(0), x, train=True)
+        y = g.apply(v, x, train=False)
+        assert y.shape == (1, 32, 32, 3)
+
+    def test_discriminator(self, rng):
+        d = DiscriminatorN_IN(num_filters=12, n_layers=2)
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+        v = d.init(jax.random.PRNGKey(0), x)
+        score, aux = d.apply(v, x)
+        assert score.shape[0] == 2 and score.shape[-1] == 1
+        assert aux is None
+
+    def test_vgg_features_deterministic(self, rng):
+        vgg = PerceptualVGG19()
+        x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+        v1 = vgg.init(jax.random.PRNGKey(12345), x)
+        v2 = vgg.init(jax.random.PRNGKey(12345), x)
+        f1 = vgg.apply(v1, x)
+        f2 = vgg.apply(v2, x)
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        # features distinguish different inputs
+        f3 = vgg.apply(v1, x * 0.5)
+        assert float(jnp.abs(f1 - f3).mean()) > 0
+
+
+class TestRIC:
+    def test_positions_center_tap_identity(self):
+        pos = ric_sample_positions(8, 8)
+        base = np.stack(np.meshgrid(np.arange(8.0), np.arange(8.0),
+                                    indexing="ij"), -1)
+        np.testing.assert_allclose(pos[:, :, 4], base, atol=1e-5)
+
+    def test_positions_on_unit_circle(self):
+        pos = ric_sample_positions(9, 9)
+        base = np.stack(np.meshgrid(np.arange(9.0), np.arange(9.0),
+                                    indexing="ij"), -1)
+        for tap in [0, 1, 2, 3, 5, 6, 7, 8]:
+            d = pos[:, :, tap] - base
+            r = np.hypot(d[..., 0], d[..., 1])
+            np.testing.assert_allclose(r, 1.0, atol=1e-4)
+
+    def test_bilinear_gather_identity(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32))
+        base = np.stack(np.meshgrid(np.arange(8.0), np.arange(8.0),
+                                    indexing="ij"), -1).astype(np.float32)
+        out = bilinear_gather(x, jnp.asarray(base))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def make_synthetic_keyframe(tmp_path, size=64):
+    """Rendered rest-pose pair: color/pos/edge passes + a 'drawing'."""
+    from drawingspinup_tpu.core.io import write_image
+    yy, xx = np.mgrid[0:size, 0:size]
+    mask = (np.hypot(yy - size / 2, xx - size / 2) < size * 0.4)
+    color = np.zeros((size, size, 4), np.float32)
+    color[..., 0] = np.where(mask, 0.8, 0)
+    color[..., 1] = np.where(mask, 0.4, 0)
+    color[..., 3] = mask
+    pos = np.zeros((size, size, 3), np.float32)
+    pos[..., 0] = xx / size
+    pos[..., 1] = yy / size
+    pos *= mask[..., None]
+    edge = np.ones((size, size), np.float32)
+    edge[mask & (np.hypot(yy - size / 2, xx - size / 2) > size * 0.35)] = 0
+    action = tmp_path / "rest_pose"
+    write_image(str(action / "color" / "0001.png"), color)
+    write_image(str(action / "pos" / "0001.png"), pos)
+    write_image(str(action / "edge" / "0001.png"), edge)
+    post = color.copy()
+    post[..., :3] = np.where(mask[..., None], [[0.9, 0.7, 0.5]], 0)
+    write_image(str(tmp_path / "char" / "drawing.png"), post)
+    return str(action), str(tmp_path / "char" / "drawing.png")
+
+
+class TestData:
+    def test_keyframe_loading(self, tmp_path):
+        action, post = make_synthetic_keyframe(tmp_path)
+        data = stage3_data.load_keyframe_pair(action, "color", post,
+                                              use_mask=True, use_pos=True)
+        assert data.pre.shape[-1] == 6
+        assert data.post.shape[-1] == 3
+        assert len(data.valid_yx) > 100
+        # normalized ranges
+        assert float(data.pre[..., :3].min()) >= -1.0
+
+    def test_edge_mode_doubles_width(self, tmp_path):
+        action, post = make_synthetic_keyframe(tmp_path)
+        data = stage3_data.load_keyframe_pair(action, "color", post,
+                                              use_mask=True, use_pos=True,
+                                              use_edge=True)
+        assert data.pre.shape[1] == 2 * data.pre.shape[0]
+
+    def test_patch_sampling(self, tmp_path):
+        action, post = make_synthetic_keyframe(tmp_path)
+        data = stage3_data.load_keyframe_pair(action, "color", post)
+        batch = stage3_data.sample_patches(data, jax.random.PRNGKey(0), 8, 16)
+        assert batch["pre"].shape == (8, 16, 16, 6)
+        assert batch["post"].shape == (8, 16, 16, 3)
+        # patches centered on valid pixels → mask coverage is substantial
+        assert float(batch["pre_mask"].mean()) > 0.2
+
+
+TINY_GAN = gan.GANConfig(generator="GeneratorJ",
+                         filters=(8, 16, 16, 16, 16, 8), resnet_blocks=1,
+                         batch_size=8, patch_size=16, input_channels=6)
+
+
+class TestGANTraining:
+    def test_losses_decrease(self, tmp_path):
+        action, post = make_synthetic_keyframe(tmp_path)
+        data = stage3_data.load_keyframe_pair(action, "color", post)
+        state = gan.init_state(TINY_GAN, jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+        first = last = None
+        for i in range(40):
+            key, k = jax.random.split(key)
+            state, logs = gan.train_step(TINY_GAN, state, data, k)
+            if i == 0:
+                first = float(logs["image_loss"])
+        last = float(logs["image_loss"])
+        assert np.isfinite(last) and last < first
+
+    def test_full_frame_and_checkpoint(self, tmp_path):
+        action, post = make_synthetic_keyframe(tmp_path)
+        data = stage3_data.load_keyframe_pair(action, "color", post)
+        state = gan.init_state(TINY_GAN, jax.random.PRNGKey(0))
+        frame, mask = stage3_data.load_full_frame(action, "0001.png",
+                                                  use_mask=True, use_pos=True,
+                                                  use_edge=False)
+        out = gan.generate_full(TINY_GAN, state, frame)
+        assert out.shape == (64, 64, 3)
+        log_dir = str(tmp_path / "logs")
+        os.makedirs(log_dir)
+        gan.save_checkpoint(log_dir, state, 7)
+        restored = gan.load_checkpoint(log_dir, state)
+        chex = jax.tree_util.tree_all(
+            jax.tree.map(lambda a, b: bool(jnp.all(a == b)),
+                         state.g_params, restored.g_params))
+        assert chex
+
+    def test_ric_variant_trains(self, tmp_path):
+        cfg = dataclasses.replace(TINY_GAN, generator="GeneratorJ_RIC")
+        action, post = make_synthetic_keyframe(tmp_path)
+        data = stage3_data.load_keyframe_pair(action, "color", post)
+        state = gan.init_state(cfg, jax.random.PRNGKey(0))
+        state, logs = gan.train_step(cfg, state, data, jax.random.PRNGKey(1))
+        assert np.isfinite(float(logs["g_loss"]))
