@@ -1,0 +1,48 @@
+"""Stage-2a CLI — multi-view generation per uid (reference ``mv.py`` surface).
+
+``python -m drawingspinup_tpu.cli.mv --uid <uid> --root <preprocessed_root>
+[--ckpt <wonder3d_dir>] [--steps 75] [--seed 42]``
+
+Without ``--ckpt`` the model runs with random weights (smoke mode — the
+Wonder3D checkpoint cannot be fetched from this environment; point --ckpt at
+a locally downloaded diffusers-layout copy for real generation).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--uid", required=True)
+    ap.add_argument("--root",
+                    default="../dataset/AnimatedDrawings/preprocessed")
+    ap.add_argument("--ckpt", default=None,
+                    help="local diffusers-layout Wonder3D checkpoint dir")
+    ap.add_argument("--steps", type=int, default=75)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--out-size", type=int, default=1024)
+    args = ap.parse_args(argv)
+
+    import dataclasses
+
+    import jax
+
+    from drawingspinup_tpu.pipelines import stage2_mv as mv
+
+    cfg = mv.MVPipelineConfig(num_inference_steps=args.steps,
+                              image_size=args.size, out_size=args.out_size)
+    if args.ckpt:
+        pipe = mv.load_pretrained(cfg, args.ckpt)
+    else:
+        print("WARNING: no --ckpt given — running with random weights")
+        pipe = mv.MVPipeline.init_random(cfg, jax.random.PRNGKey(0))
+    written = mv.generate_uid(args.root, args.uid, pipe, seed=args.seed)
+    print(json.dumps({"written": len(written)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

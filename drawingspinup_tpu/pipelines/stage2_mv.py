@@ -1,0 +1,323 @@
+"""Stage 2a — multi-view diffusion generation (mv.py equivalent).
+
+Full parity with the reference flow (``2_charactor_reconstructor/mv.py`` +
+``mvdiffusion/pipelines/pipeline_mvdiffusion_image.py``):
+
+  drawing (inpainted RGBA, composited white, 256²) →
+  CLIP image embed + VAE cond latents (one per view ×2 domains) →
+  camera Δelevation/Δazimuth (Wonder3D orbit) ⊕ task one-hots → sincos →
+  75-step DDIM over the 12-image batch through the MV UNet
+  (channel-concat cond latents each step) →
+  VAE decode → 6 normals + 6 colors, resized 1024² →
+  per-view masks: front = drawing mask, back = mirrored, sides = background
+  removal; writes mv/{normal,color,mask}/<view>.png.
+
+Weights: the Wonder3D checkpoint is fetched externally (HF hub is
+unreachable from this environment); ``load_pretrained`` ports a local
+diffusers-layout checkpoint dir via utils/diffusers_port.py. Without
+weights, the architecture runs end-to-end with random init (shape/compile
+validation + tests).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drawingspinup_tpu.core import UidPaths, VIEWS
+from drawingspinup_tpu.core.io import read_image, write_image
+from drawingspinup_tpu.models.clip_vision import (
+    CLIPVisionConfig, CLIPVisionModelWithProjection,
+    preprocess as clip_preprocess,
+)
+from drawingspinup_tpu.models.unet_mv2d import UNetMV2D, UNetMVConfig
+from drawingspinup_tpu.models.vae import AutoencoderKL
+from drawingspinup_tpu.ops import diffusion as D
+from drawingspinup_tpu.ops.image import resize
+
+# Wonder3D's training-camera positions (x, y, z) per view — extracted from
+# the reference's fixed_poses/nine_views txt matrices (the irregular orbit
+# the published weights were trained with; part of the model contract).
+WONDER3D_CAMERAS: Dict[str, Tuple[float, float, float]] = {
+    "front": (-1.1051002, -0.5968285, 0.3354838),
+    "front_right": (-0.4204443, -1.5601668, 0.8769869),
+    "right": (0.6846559, -0.9633385, 0.5415031),
+    "back": (1.1051002, 0.5968286, -0.3354838),
+    "left": (-0.6846559, 0.9633384, -0.5415032),
+    "front_left": (-1.7897565, 0.3665098, -0.2060194),
+    "back_left": (0.4204443, 1.5601668, -0.8769868),
+    "back_right": (1.7897564, -0.3665100, 0.2060193),
+    "top": (-0.0000000, 0.6370046, 1.1332367),
+}
+
+# side views whose masks come from background removal (mv.py:115-122); the
+# four hard-coded uids there use the normal map instead of color
+NORMAL_MASK_UIDS = {"5269932f55b5456c9b76cacfe0477c36",
+                    "ff97c4c2e4d34790ad4d9cfae2c9b37b",
+                    "8cb0a6123ffb4ea5b2dd7ba0cb98ac61",
+                    "1b39b2d2a6cb4a72a452b2bdcd7c0590"}
+
+
+def camera_task_embeddings(views: List[str]) -> np.ndarray:
+    """(2·Nv, 5): [0, Δelevation, Δazimuth, normal_onehot, color_onehot]
+    relative to the front view (reference single_image_dataset.py:67-80 +
+    mv.py:70-75 task concat; normals first, then colors)."""
+    def sph(c):
+        x, y, z = c
+        theta = np.arctan2(np.hypot(x, y), z)
+        azim = np.arctan2(y, x)
+        return theta, azim
+
+    t0, a0 = sph(WONDER3D_CAMERAS["front"])
+    rows = []
+    for v in views:
+        t, a = sph(WONDER3D_CAMERAS[v])
+        rows.append([0.0, t - t0, (a - a0) % (2 * np.pi)])
+    cam = np.asarray(rows, np.float32)
+    normal_task = np.concatenate(
+        [cam, np.tile([[1.0, 0.0]], (len(views), 1))], axis=1)
+    color_task = np.concatenate(
+        [cam, np.tile([[0.0, 1.0]], (len(views), 1))], axis=1)
+    return np.concatenate([normal_task, color_task], axis=0).astype(np.float32)
+
+
+def sincos(emb: np.ndarray) -> np.ndarray:
+    """'e_de_da_sincos' (pipeline :271-296): concat(sin, cos)."""
+    return np.concatenate([np.sin(emb), np.cos(emb)], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class MVPipelineConfig:
+    unet: UNetMVConfig = UNetMVConfig()
+    ddim: D.DDIMConfig = D.DDIMConfig()
+    clip: Optional[CLIPVisionConfig] = None  # default: match unet cross dim
+    num_views: int = 6
+    image_size: int = 256
+    num_inference_steps: int = 75
+    guidance_scale: float = 1.0
+    eta: float = 1.0
+    out_size: int = 1024
+
+    def clip_config(self) -> CLIPVisionConfig:
+        if self.clip is not None:
+            return self.clip
+        if self.unet.cross_attention_dim == 768:
+            return CLIPVisionConfig()
+        # scaled-down encoder for tests/small configs
+        return CLIPVisionConfig(image_size=32, patch_size=8, hidden_size=64,
+                                num_layers=2, num_heads=4,
+                                projection_dim=self.unet.cross_attention_dim)
+
+
+class MVPipeline:
+    """Holds the three model defs + their params and runs generation."""
+
+    def __init__(self, cfg: MVPipelineConfig, params: Dict):
+        self.cfg = cfg
+        self.unet = UNetMV2D(cfg.unet)
+        self.vae = AutoencoderKL()
+        self.clip = CLIPVisionModelWithProjection(cfg.clip_config())
+        self.params = params
+        self.acp = jnp.asarray(D.alphas_cumprod(cfg.ddim))
+
+    # -- init ---------------------------------------------------------------
+    @staticmethod
+    def init_random(cfg: MVPipelineConfig, key: jax.Array,
+                    latent_hw: Optional[int] = None) -> "MVPipeline":
+        latent = latent_hw or cfg.image_size // 8
+        k1, k2, k3 = jax.random.split(key, 3)
+        unet = UNetMV2D(cfg.unet)
+        vae = AutoencoderKL()
+        clip = CLIPVisionModelWithProjection(cfg.clip_config())
+        nv2 = cfg.num_views * 2
+        params = {
+            "unet": unet.init(
+                k1, jnp.zeros((nv2, latent, latent, cfg.unet.in_channels)),
+                jnp.zeros((nv2,), jnp.int32),
+                jnp.zeros((nv2, 1, cfg.unet.cross_attention_dim)),
+                jnp.zeros((nv2,
+                           cfg.unet.projection_class_embeddings_input_dim)),
+            )["params"],
+            "vae": vae.init(k2, jnp.zeros((1, cfg.image_size, cfg.image_size,
+                                           3)))["params"],
+            "clip": clip.init(k3, jnp.zeros(
+                (1, cfg.clip_config().image_size,
+                 cfg.clip_config().image_size, 3)))["params"],
+        }
+        return MVPipeline(cfg, params)
+
+    # -- conditioning -------------------------------------------------------
+    def encode_image(self, image: np.ndarray):
+        """image (H, W, 3) [0,1] on white → (clip tokens (1,1,768),
+        cond latents (1, h, w, 4))."""
+        x = jnp.asarray(image)[None]
+        clip_in = clip_preprocess(x, self.cfg.clip_config().image_size)
+        embeds = self.clip.apply({"params": self.params["clip"]}, clip_in)
+        latents = self.vae.apply({"params": self.params["vae"]},
+                                 x * 2.0 - 1.0, method=AutoencoderKL.encode_mode)
+        return embeds[:, None, :], latents
+
+    # -- sampling -----------------------------------------------------------
+    def __call__(self, image: np.ndarray, views: Optional[List[str]] = None,
+                 seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        """Run generation → (normals (Nv,H,W,3), colors (Nv,H,W,3)) in [0,1]."""
+        cfg = self.cfg
+        views = views or list(VIEWS)
+        nv = len(views)
+        nv2 = nv * 2
+        embeds, cond_latents = self.encode_image(image)
+        embeds = jnp.tile(embeds, (nv2, 1, 1))
+        cond_latents = jnp.tile(cond_latents, (nv2, 1, 1, 1))
+        cam = jnp.asarray(sincos(camera_task_embeddings(views)))
+
+        ts = jnp.asarray(D.timesteps_for(cfg.ddim, cfg.num_inference_steps))
+        ts_prev = jnp.concatenate(
+            [ts[1:], jnp.asarray([-1], ts.dtype)])
+
+        key = jax.random.PRNGKey(seed)
+        key, k0 = jax.random.split(key)
+        h = cond_latents.shape[1]
+        latents = jax.random.normal(k0, (nv2, h, h, 4))
+
+        unet = self.unet
+        acp = self.acp
+        params = self.params["unet"]
+        eta = cfg.eta
+
+        @jax.jit
+        def sample_loop(latents, key):
+            def body(i, carry):
+                lat, key = carry
+                key, kn = jax.random.split(key)
+                t = ts[i]
+                inp = jnp.concatenate([lat, cond_latents], axis=-1)
+                eps = unet.apply({"params": params}, inp,
+                                 t, embeds, cam)
+                noise = jax.random.normal(kn, lat.shape)
+                lat = D.ddim_step(cfg.ddim, acp, eps, t, ts_prev[i], lat,
+                                  eta=eta, noise=noise)
+                return (lat, key)
+
+            latents, _ = jax.lax.fori_loop(0, len(ts), body, (latents, key))
+            return latents
+
+        latents = sample_loop(latents, key)
+
+        @jax.jit
+        def decode(z):
+            img = self.vae.apply({"params": self.params["vae"]}, z,
+                                 method=AutoencoderKL.decode)
+            return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+        images = np.asarray(decode(latents))
+        return images[:nv], images[nv:]
+
+
+# ---------------------------------------------------------------------------
+# mask derivation (mv.py:105-126)
+# ---------------------------------------------------------------------------
+
+def background_removal(img: np.ndarray, bg_color: float = 1.0,
+                       threshold: float = 0.1) -> np.ndarray:
+    """Heuristic foreground mask: distance from the background color with
+    morphological cleanup. Stands in for the reference's ISNet onnx model
+    (``isnet_dis.onnx`` — weights not shippable here); plug in an ISNet
+    runner via the ``DSU_ISNET_ONNX`` env var when available."""
+    onnx_path = os.environ.get("DSU_ISNET_ONNX")
+    if onnx_path and os.path.exists(onnx_path):
+        try:
+            import onnxruntime as ort  # optional
+            sess = ort.InferenceSession(onnx_path)
+            from PIL import Image
+            a = np.asarray(Image.fromarray(
+                (img * 255).astype(np.uint8)).resize((1024, 1024)))
+            inp = (a.astype(np.float32) / 255.0).transpose(2, 0, 1)[None]
+            out = sess.run(None, {sess.get_inputs()[0].name: inp})[0][0, 0]
+            m = (out - out.min()) / max(out.max() - out.min(), 1e-9)
+            return np.asarray(Image.fromarray(
+                (m * 255).astype(np.uint8)).resize(img.shape[:2][::-1]),
+                np.float32) / 255.0
+        except Exception:
+            pass
+    from scipy import ndimage
+    dist = np.abs(img - bg_color).max(axis=-1)
+    mask = dist > threshold
+    mask = ndimage.binary_closing(mask, iterations=2)
+    mask = ndimage.binary_opening(mask, iterations=1)
+    lab, n = ndimage.label(mask)
+    if n > 1:
+        sizes = ndimage.sum(mask, lab, range(1, n + 1))
+        mask = lab == (1 + np.argmax(sizes))
+    return mask.astype(np.float32)
+
+
+def derive_masks(uid: str, colors: np.ndarray, normals: np.ndarray,
+                 drawing_mask: np.ndarray, views: List[str]) -> np.ndarray:
+    """Per-view masks: front = drawing mask; back = mirrored; sides =
+    background removal on color (normal for 4 hard-coded uids)."""
+    out = []
+    size = colors.shape[1]
+    if drawing_mask.shape[0] != size:
+        drawing_mask = np.asarray(
+            resize(jnp.asarray(drawing_mask[..., None]),
+                   (size, size), "nearest"))[..., 0]
+    for i, v in enumerate(views):
+        if v == "front":
+            out.append((drawing_mask > 0.5).astype(np.float32))
+        elif v == "back":
+            out.append((drawing_mask[:, ::-1] > 0.5).astype(np.float32))
+        else:
+            src = normals[i] if uid in NORMAL_MASK_UIDS else colors[i]
+            out.append(background_removal(src))
+    return np.stack(out)
+
+
+def generate_uid(root: str, uid: str, pipe: MVPipeline,
+                 views: Optional[List[str]] = None, seed: int = 0,
+                 save_name: str = "ffc_resnet") -> List[str]:
+    """Full mv.py flow for one uid: load stage-1 output, sample, write
+    mv/{normal,color,mask}/<view>.png at out_size."""
+    paths = UidPaths(root, uid)
+    views = views or list(VIEWS)
+    inp_path = os.path.join(paths.char_dir, f"{save_name}_inpainted.png")
+    if not os.path.exists(inp_path):
+        inp_path = paths.texture  # reference fallback (mv.py:55-57)
+    rgba = read_image(inp_path)
+    if rgba.shape[-1] == 4:
+        alpha = rgba[..., 3:4]
+        image = rgba[..., :3] * alpha + (1.0 - alpha)
+        drawing_mask = rgba[..., 3]
+    else:
+        image = rgba[..., :3]
+        drawing_mask = read_image(paths.mask)[..., 0]
+    size = pipe.cfg.image_size
+    image = np.asarray(resize(jnp.asarray(image), (size, size)))
+
+    normals, colors = pipe(image, views=views, seed=seed)
+    out = pipe.cfg.out_size
+    normals = np.asarray(resize(jnp.asarray(normals), (out, out)))
+    colors = np.asarray(resize(jnp.asarray(colors), (out, out)))
+    masks = derive_masks(uid, colors, normals, drawing_mask, views)
+
+    written = []
+    for i, v in enumerate(views):
+        for kind, img in (("normal", normals[i]), ("color", colors[i]),
+                          ("mask", masks[i][..., None])):
+            p = paths.mv(kind, v)
+            write_image(p, img)
+            written.append(p)
+    return written
+
+
+def load_pretrained(cfg: MVPipelineConfig, ckpt_dir: str) -> MVPipeline:
+    """Build the pipeline from a local diffusers-layout Wonder3D checkpoint
+    (unet/, vae/, image_encoder/ subdirs with safetensors)."""
+    from drawingspinup_tpu.utils.diffusers_port import load_wonder3d_params
+    pipe = MVPipeline.init_random(cfg, jax.random.PRNGKey(0))
+    pipe.params = load_wonder3d_params(ckpt_dir, pipe.params)
+    return pipe
