@@ -20,6 +20,8 @@ BASELINE_IMGS_PER_SEC = 12.0
 
 
 def main() -> None:
+    from drawingspinup_tpu.core import jax_setup
+    jax_setup.setup()
     import jax
     import jax.numpy as jnp
 

@@ -59,6 +59,8 @@ def load_variables(cfg: Config, model, sample_shape=(1, 512, 512, 4)):
 
 
 def main(argv=None) -> int:
+    from drawingspinup_tpu.core import jax_setup
+    jax_setup.setup()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("config", nargs="?", default=DEFAULT_CFG)
     ap.add_argument("overrides", nargs="*", help="key.path=value overrides")

@@ -19,6 +19,8 @@ DEFAULT_CFG = os.path.join(os.path.dirname(__file__), "..", "configs",
 
 
 def main(argv=None) -> int:
+    from drawingspinup_tpu.core import jax_setup
+    jax_setup.setup()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default=DEFAULT_CFG)
     ap.add_argument("--uid", default=None)

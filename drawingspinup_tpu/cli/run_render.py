@@ -20,6 +20,8 @@ YAW_ACTIONS = {"jumping", "zombie"}
 
 
 def main(argv=None) -> int:
+    from drawingspinup_tpu.core import jax_setup
+    jax_setup.setup()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data_dir",
                     default="../dataset/AnimatedDrawings/preprocessed")

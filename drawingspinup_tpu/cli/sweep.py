@@ -1,0 +1,79 @@
+"""Full-pipeline batch CLI: drawing → GIF for every uid in a list.
+
+``python -m drawingspinup_tpu.cli.sweep --root <preprocessed> --uids u.json
+[--stages stage1,recon,render,train_style,gif] [--shard 0/4]``
+
+Each stage reuses the corresponding single-uid pipeline; failures are
+isolated per uid and logged to sweep_log.jsonl (see pipelines/sweep.py).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None) -> int:
+    from drawingspinup_tpu.core import jax_setup
+    jax_setup.setup()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--uids", required=True)
+    ap.add_argument("--stages",
+                    default="stage1,mv,recon,render,train_style,gif")
+    ap.add_argument("--shard", default="0/1", help="index/num_shards")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--recon-overrides", nargs="*", default=[])
+    args = ap.parse_args(argv)
+
+    shard_index, num_shards = (int(x) for x in args.shard.split("/"))
+    stages = args.stages.split(",")
+
+    from drawingspinup_tpu.pipelines import sweep as sweep_mod
+
+    def stage1(uid):
+        from drawingspinup_tpu.cli import predict
+        predict.main(["--uid", uid, "--root", args.root])
+
+    def mv(uid):
+        from drawingspinup_tpu.cli import mv as mv_cli
+        mv_cli.main(["--uid", uid, "--root", args.root])
+
+    def recon(uid):
+        from drawingspinup_tpu.cli import recon as recon_cli
+        recon_cli.main(["--uid", uid, "--root", args.root]
+                       + args.recon_overrides)
+
+    def render(uid):
+        from drawingspinup_tpu.cli import run_render
+        run_render.main(["--uid", uid, "--data_dir", args.root])
+        run_render.main(["--uid", uid, "--data_dir", args.root, "--test"])
+
+    def train_style(uid):
+        from drawingspinup_tpu.cli import train_stage1, train_stage2
+        train_stage1.main(["--uid", uid, "--root", args.root])
+        train_stage2.main(["--uid", uid, "--root", args.root])
+
+    def test_style(uid):
+        from drawingspinup_tpu.cli import test_stage1, test_stage2
+        test_stage1.main(["--uid", uid, "--root", args.root])
+        test_stage2.main(["--uid", uid, "--root", args.root])
+
+    def gif(uid):
+        from drawingspinup_tpu.cli import gif_writer
+        gif_writer.main(["--uid", uid, "--root", args.root])
+
+    all_fns = {"stage1": stage1, "mv": mv, "recon": recon, "render": render,
+               "train_style": train_style, "test_style": test_style,
+               "gif": gif}
+    fns = {s: all_fns[s] for s in stages}
+    result = sweep_mod.run_sweep(args.root, args.uids, fns,
+                                 shard_index=shard_index,
+                                 num_shards=num_shards,
+                                 resume=not args.no_resume)
+    print(json.dumps({k: len(v) for k, v in result.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -6,6 +6,8 @@ import argparse
 
 
 def main(argv=None) -> int:
+    from drawingspinup_tpu.core import jax_setup
+    jax_setup.setup()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--uid", required=True)
     ap.add_argument("--root", default="../dataset/AnimatedDrawings/preprocessed")

@@ -132,6 +132,37 @@ def sdf_forward(cfg: SDFFieldConfig, params, x: jnp.ndarray,
     return out[..., 0], out
 
 
+def sdf_with_grad_analytic(cfg: SDFFieldConfig, params, x: jnp.ndarray,
+                           level_mask: Optional[jnp.ndarray] = None):
+    """Analytic position gradients (reference grad_type='analytic',
+    geometry.py:153-157) via the MANUAL spatial jacobian of the trilinear
+    interpolation + MLP jvps.
+
+    TPU rationale: finite differences re-evaluate the field at 6 probes,
+    multiplying the hash-table index traffic ×7 (the dominant TPU cost), and
+    nested autodiff (jax.grad inside the loss graph) crashes this TPU
+    compiler. encode_with_spatial_grad returns ∂enc/∂x in closed form from
+    the SAME gathers; three MLP jvps then give ∂sdf/∂x with the whole
+    training graph staying first-order.
+    """
+    from drawingspinup_tpu.models.hashgrid import encode_with_spatial_grad
+
+    u = contract(x, cfg.radius)
+    enc, denc = encode_with_spatial_grad(params["table"], u, cfg.grid,
+                                         level_mask)
+    mlp = lambda e: apply_mlp(cfg.mlp, params["mlp"], e)
+    feat = mlp(enc)
+    sdf = feat[..., 0]
+    # chain rule: u = (x + r) / (2r) => d/dx = d/du / (2r)
+    scale = 1.0 / (2.0 * cfg.radius)
+    grads = []
+    for k in range(3):
+        _, tang = jax.jvp(mlp, (enc,), (denc[k],))
+        grads.append(tang[..., 0] * scale)
+    grad = jnp.stack(grads, axis=-1)                     # (P, 3)
+    return sdf, grad, feat
+
+
 def sdf_with_grad(cfg: SDFFieldConfig, params, x: jnp.ndarray, eps,
                   level_mask: Optional[jnp.ndarray] = None,
                   with_laplace: bool = False):

@@ -122,3 +122,16 @@ def bilinear_sample(image: np.ndarray, xy: np.ndarray) -> np.ndarray:
     v11 = image[y0 + 1, x0 + 1]
     return ((1 - fx) * (1 - fy) * v00 + fx * (1 - fy) * v01
             + (1 - fx) * fy * v10 + fx * fy * v11)
+
+
+def remove_short_lines(mask: np.ndarray, min_length: int) -> np.ndarray:
+    """Drop connected components smaller than min_length pixels (reference
+    remove_short_lines, thinning_utils.py:37-44)."""
+    m = np.asarray(mask) > 0
+    lab, n = ndimage.label(m)
+    out = np.zeros_like(m)
+    for i in range(1, n + 1):
+        comp = lab == i
+        if comp.sum() >= min_length:
+            out |= comp
+    return (out * 255).astype(np.uint8)

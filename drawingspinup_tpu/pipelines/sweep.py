@@ -1,0 +1,76 @@
+"""Batch sweep — the production 120-character pipeline.
+
+The reference has no batch driver beyond shell loops; its only 'distributed'
+machinery is dormant (SURVEY.md §2.5). Here the full-dataset sweep is a
+first-class pipeline: per-uid stage chains with continue-on-error (the
+failure-isolation behavior of the reference's Blender farm), a JSONL run
+log, resume (uids with up-to-date outputs are skipped), and sharding of the
+uid list across processes/hosts (``shard_index/num_shards`` — the DCN-level
+axis; intra-chip parallelism lives inside each stage's jitted step).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+import traceback
+from typing import Callable, Dict, List, Optional, Sequence
+
+from drawingspinup_tpu.core import UidPaths, load_uid_list
+from drawingspinup_tpu.core.metrics import MetricsLogger
+
+STAGES = ("stage1", "mv", "recon", "render", "train_style", "test_style",
+          "gif")
+
+
+def stage_done(paths: UidPaths, stage: str) -> bool:
+    if stage == "stage1":
+        return os.path.exists(paths.inpainted)
+    if stage == "mv":
+        return os.path.exists(paths.mv("color", "front"))
+    if stage == "recon":
+        return os.path.isdir(paths.mesh_dir) and any(
+            f.endswith(".obj") for f in os.listdir(paths.mesh_dir))
+    if stage == "render":
+        return os.path.isdir(os.path.join(paths.render_dir, "rest_pose"))
+    if stage == "gif":
+        return os.path.isdir(paths.gif_dir) and bool(os.listdir(paths.gif_dir))
+    return False
+
+
+def run_sweep(root: str, uid_json: str,
+              stage_fns: Dict[str, Callable[[str], None]],
+              shard_index: int = 0, num_shards: int = 1,
+              resume: bool = True,
+              log_path: Optional[str] = None) -> Dict[str, List[str]]:
+    """Run the given per-uid stage functions over a uid shard.
+
+    stage_fns: {stage_name: fn(uid)} executed in declaration order. A stage
+    failure logs the traceback and skips the remaining stages for that uid
+    (later uids continue) — no partial output is deleted.
+    """
+    uids = load_uid_list(uid_json)
+    uids = uids[shard_index::num_shards]
+    logger = MetricsLogger(log_path or os.path.join(root, "sweep_log.jsonl"))
+    ok: List[str] = []
+    failed: List[str] = []
+    for i, uid in enumerate(uids):
+        paths = UidPaths(root, uid)
+        t0 = time.time()
+        try:
+            for stage, fn in stage_fns.items():
+                if resume and stage_done(paths, stage):
+                    continue
+                st = time.time()
+                fn(uid)
+                logger.log(uid=uid, stage=stage, seconds=time.time() - st)
+            ok.append(uid)
+            logger.log(uid=uid, stage="done", seconds=time.time() - t0)
+        except Exception as e:
+            failed.append(uid)
+            logger.log(uid=uid, stage="FAILED", error=str(e),
+                       traceback=traceback.format_exc()[-2000:])
+            print(f"[sweep] {uid} FAILED: {e}")
+        print(f"[sweep {shard_index}/{num_shards}] {i + 1}/{len(uids)} done "
+              f"({len(failed)} failed)")
+    return {"ok": ok, "failed": failed}

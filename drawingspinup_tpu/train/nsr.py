@@ -66,6 +66,9 @@ class NSRConfig:
     n_fine: int = 64
     n_random_pts: int = 2048
     randomized: bool = True
+    # analytic (TPU default: autodiff through the trilinear weights, no extra
+    # gathers) | finite_difference (reference default; 7× field evals)
+    grad_type: str = "analytic"
     loss: LossWeights = LossWeights()
     max_steps: int = 3000
     constant_steps: int = 500
@@ -180,11 +183,16 @@ def render_rays(cfg: NSRConfig, params, rays_o: jnp.ndarray,
     dists = jnp.concatenate([dists, dists[..., -1:]], axis=-1)
     pos = rays_o[:, None, :] + rays_d[:, None, :] * t_all[..., None]
 
-    # ---- full eval with FD gradients ----
-    field = partial(sdf_with_grad, cfg.sdf, params["geometry"],
-                    eps=fd_eps, level_mask=level_mask)
-    sdf, grad, feature = jax.checkpoint(
-        lambda pts: field(pts))(pos.reshape(-1, 3))
+    # ---- full eval with gradients ----
+    if cfg.grad_type == "finite_difference":
+        field = partial(sdf_with_grad, cfg.sdf, params["geometry"],
+                        eps=fd_eps, level_mask=level_mask)
+        sdf, grad, feature = jax.checkpoint(
+            lambda pts: field(pts))(pos.reshape(-1, 3))
+    else:
+        field = partial(fields.sdf_with_grad_analytic, cfg.sdf,
+                        params["geometry"], level_mask=level_mask)
+        sdf, grad, feature = field(pos.reshape(-1, 3))
     S = cfg.n_samples
     sdf = sdf.reshape(-1, S)
     grad_flat = grad

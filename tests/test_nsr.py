@@ -33,7 +33,8 @@ TINY_GRID = HashGridConfig(n_levels=4, log2_hashmap_size=12,
 class TestHashGrid:
     def test_interpolation_continuity(self, rng):
         cfg = TINY_GRID
-        table = init_table(cfg, jax.random.PRNGKey(0)) * 1e4  # amplify
+        table = tuple(t * 1e4 for t in
+                      init_table(cfg, jax.random.PRNGKey(0)))  # amplify
         x = jnp.asarray(rng.random((32, 3)).astype(np.float32))
         e1 = encode(table, x, cfg)
         e2 = encode(table, x + 1e-5, cfg)
