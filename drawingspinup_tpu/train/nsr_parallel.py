@@ -1,0 +1,64 @@
+"""Multi-chip NSR training — rays data-parallel over the mesh.
+
+The reference's DDP plumbing is dormant (pinned to one GPU, SURVEY.md §2.5).
+Here scaling is real: each device samples and renders its own ray shard
+(``shard_map`` over the ``dp`` axis), gradients are ``pmean``-reduced over
+ICI, and the (replicated) optimizer update is applied once. The per-step
+sample budget scales linearly with the mesh size — the natural NeuS scaling
+axis, since rays are embarrassingly parallel while the hash table is small
+enough (≈40 MB) to replicate.
+
+The uid axis of the 120-character sweep shards across processes/hosts
+(pipelines/sweep.py) — that is the DCN level; this module is the ICI level.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from drawingspinup_tpu.train import nsr
+
+
+def make_train_step_dp(cfg: nsr.NSRConfig, tx, mesh: Mesh):
+    """Build a jitted data-parallel train step for the given mesh."""
+    ndp = mesh.shape["dp"]
+    rays_per_device = max(cfg.train_num_rays // ndp, 1)
+
+    def device_loss(params, data, key, step):
+        k_pix, k_render = jax.random.split(key[0])
+        rays_o, rays_d, targets = nsr.sample_pixel_rays(
+            k_pix, data, rays_per_device)
+        out = nsr.render_rays(cfg, params, rays_o, rays_d, k_render, step,
+                              train=True)
+        out["rays_d"] = rays_d
+        loss, logs = nsr.compute_losses(cfg, out, targets)
+        return loss, logs
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P("dp"), P()),
+             out_specs=(P(), P()),
+             check_rep=False)
+    def grads_fn(params, data, keys, step):
+        (loss, logs), grads = jax.value_and_grad(
+            device_loss, has_aux=True)(params, data, keys, step)
+        grads = jax.lax.pmean(grads, "dp")
+        logs = jax.lax.pmean(
+            {k: v for k, v in logs.items()}, "dp")
+        return grads, logs
+
+    @jax.jit
+    def train_step(state: nsr.TrainState, data: Dict[str, jnp.ndarray],
+                   key: jax.Array) -> Tuple[nsr.TrainState, Dict]:
+        keys = jax.random.split(key, ndp)
+        grads, logs = grads_fn(state.params, data, keys, state.step)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return nsr.TrainState(params, opt_state, state.step + 1), logs
+
+    return train_step
