@@ -182,8 +182,50 @@ def bilinear_gather(x: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
             + fy * (1 - fx) * v10 + fy * fx * v11)
 
 
+def ric_shift_weights(h: int, w: int) -> np.ndarray:
+    """(9 taps, 9 shifts, H, W) float32: per-pixel bilinear weights of each
+    rotated tap expressed over the 9 STATIC integer shifts {−1,0,1}².
+
+    Key observation: every rotated tap lands within ±1 px of its pixel, so
+    its bilinear sample is a weighted sum of statically shifted copies of
+    the tensor — shift-and-multiply on the VPU instead of per-pixel gathers
+    (TPU gathers cost ~10 ms per million indices; shifts are free)."""
+    pos = ric_sample_positions(h, w)                      # (H, W, 9, 2)
+    base = np.stack(np.meshgrid(np.arange(h, dtype=np.float64),
+                                np.arange(w, dtype=np.float64),
+                                indexing="ij"), axis=-1)
+    d = pos.astype(np.float64) - base[:, :, None, :]      # (H, W, 9, 2)
+    out = np.zeros((9, 9, h, w), np.float32)
+    shifts = [(sy, sx) for sy in (-1, 0, 1) for sx in (-1, 0, 1)]
+    sidx = {s: i for i, s in enumerate(shifts)}
+    y0 = np.floor(d[..., 0]).astype(np.int64)             # ∈ {−1, 0}
+    x0 = np.floor(d[..., 1]).astype(np.int64)
+    fy = d[..., 0] - y0
+    fx = d[..., 1] - x0
+    for tap in range(9):
+        for cy in (0, 1):
+            for cx in (0, 1):
+                wgt = ((fy[:, :, tap] if cy else 1 - fy[:, :, tap])
+                       * (fx[:, :, tap] if cx else 1 - fx[:, :, tap]))
+                sy = y0[:, :, tap] + cy                   # ∈ {−1, 0, 1}
+                sx = x0[:, :, tap] + cx
+                for s, i in sidx.items():
+                    m = (sy == s[0]) & (sx == s[1])
+                    out[tap, i][m] += wgt[m]
+    return out
+
+
+def shift2d(x: jnp.ndarray, sy: int, sx: int) -> jnp.ndarray:
+    """Static integer shift with zero fill (NHWC)."""
+    n, h, w, c = x.shape
+    pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return jax.lax.dynamic_slice(pad, (0, 1 + sy, 1 + sx, 0), (n, h, w, c))
+
+
 class RICConv(nn.Module):
-    """3×3 rotation-invariant conv as 9 static bilinear gathers + matmuls."""
+    """3×3 rotation-invariant conv (deform_conv2d replacement) as
+    shift-and-lerp: 9 static shifts × per-pixel weights → per-tap samples →
+    tap-contracted matmul. Gather-free (see ric_shift_weights)."""
 
     features: int
     use_bias: bool = False
@@ -191,12 +233,17 @@ class RICConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         h, w = x.shape[1], x.shape[2]
-        pos = jnp.asarray(ric_sample_positions(h, w))
+        sw = jnp.asarray(ric_shift_weights(h, w))         # (9, 9, H, W)
         wk = self.param("kernel", nn.initializers.he_normal(),
                         (9, x.shape[-1], self.features))
+        shifts = [(sy, sx) for sy in (-1, 0, 1) for sx in (-1, 0, 1)]
         out = None
         for tap in range(9):
-            s = bilinear_gather(x, pos[:, :, tap])
+            s = None
+            for i, (sy, sx) in enumerate(shifts):
+                wmap = sw[tap, i][None, :, :, None]
+                term = shift2d(x, sy, sx) * wmap.astype(x.dtype)
+                s = term if s is None else s + term
             t = jnp.einsum("nhwc,co->nhwo", s, wk[tap].astype(x.dtype),
                            preferred_element_type=jnp.float32).astype(x.dtype)
             out = t if out is None else out + t

@@ -220,3 +220,28 @@ class TestMetrics:
         log.log(step=1, loss=jnp.asarray(0.5))
         rec = json.loads(p.read_text().splitlines()[0])
         assert rec["step"] == 1 and abs(rec["loss"] - 0.5) < 1e-6
+
+
+class TestFusedMLPKernel:
+    def test_matches_xla_interpret(self, rng):
+        """Pallas fused MLP ≡ the XLA formulation (interpret mode on CPU)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        import drawingspinup_tpu.kernels.fused_mlp as fm
+        x = jnp.asarray(rng.standard_normal((300, 23)).astype(np.float32))
+        w1 = jnp.asarray(rng.standard_normal((23, 64)).astype(np.float32) * .1)
+        b1 = jnp.asarray(rng.standard_normal((64,)).astype(np.float32) * .1)
+        w2 = jnp.asarray(rng.standard_normal((64, 13)).astype(np.float32) * .1)
+        b2 = jnp.zeros((13,))
+        ref = fm._forward_xla(x, w1, b1, w2, b2)
+        # run the pallas path in interpreter mode
+        orig = pl.pallas_call
+        import functools
+        try:
+            pl.pallas_call = functools.partial(orig, interpret=True)
+            out = fm._forward_pallas(x, w1, b1, w2, b2)
+        finally:
+            pl.pallas_call = orig
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
