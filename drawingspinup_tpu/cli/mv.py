@@ -26,6 +26,8 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--out-size", type=int, default=1024)
+    ap.add_argument("--tiny", action="store_true",
+                    help="small UNet/CLIP for smoke tests")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -34,8 +36,15 @@ def main(argv=None) -> int:
 
     from drawingspinup_tpu.pipelines import stage2_mv as mv
 
+    unet_kw = {}
+    if args.tiny:
+        from drawingspinup_tpu.models.unet_mv2d import UNetMVConfig
+        unet_kw["unet"] = UNetMVConfig(block_out_channels=(32, 64, 64, 64),
+                                       attention_heads=4,
+                                       cross_attention_dim=32)
     cfg = mv.MVPipelineConfig(num_inference_steps=args.steps,
-                              image_size=args.size, out_size=args.out_size)
+                              image_size=args.size, out_size=args.out_size,
+                              **unet_kw)
     if args.ckpt:
         pipe = mv.load_pretrained(cfg, args.ckpt)
     else:

@@ -67,6 +67,7 @@ def main(argv=None) -> int:
     ap.add_argument("--uid", default=None)
     ap.add_argument("--root", default=None, help="override dataset root (indir)")
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--size", type=int, default=512)
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config, args.overrides)
@@ -78,7 +79,8 @@ def main(argv=None) -> int:
     model = stage1.build_generator(cfg)
     variables = load_variables(cfg, model)
     written = stage1.predict_uids(root, uids, variables, cfg,
-                                  batch_size=min(args.batch_size, len(uids)))
+                                  batch_size=min(args.batch_size, len(uids)),
+                                  size=args.size)
     print(json.dumps({"written": written}))
     return 0
 

@@ -211,9 +211,24 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
 
     tx = nsr.make_optimizer(cfg)
     state = nsr.init_state(cfg, jax.random.PRNGKey(seed))
+
+    # checkpoint/resume (reference: PL every_n_train_steps=max_steps +
+    # unused load_from_checkpoint hook — here resume actually works)
+    from drawingspinup_tpu.core import checkpoint as ckpt
+    ckpt_root = os.path.join(paths.mesh_dir, "ckpt")
+    start_step = 0
+    latest = ckpt.latest_step(ckpt_root)
+    if latest is not None and latest <= cfg.max_steps:
+        state = ckpt.restore(ckpt.step_path(ckpt_root, latest), state)
+        state = state._replace(step=jnp.asarray(latest, jnp.int32))
+        start_step = latest
+        print(f"[recon {uid}] resumed from step {latest}")
+
     key = jax.random.PRNGKey(seed + 1)
+    for _ in range(start_step):
+        key, _k = jax.random.split(key)  # keep the key stream aligned
     t0 = time.time()
-    for step in range(cfg.max_steps):
+    for step in range(start_step, cfg.max_steps):
         key, k = jax.random.split(key)
         state, logs = nsr.train_step(cfg, tx, state, data, k)
         if log_every and step % log_every == 0:
@@ -222,6 +237,8 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
                   f"mask={float(logs['loss_mask']):.4f} "
                   f"inv_s={float(logs['inv_s']):.1f}")
     train_time = time.time() - t0
+    if cfg.max_steps > start_step:
+        ckpt.save(ckpt.step_path(ckpt_root, cfg.max_steps), state)
 
     verts, faces = isosurface(
         cfg, state.params, resolution=mc_resolution,
