@@ -352,3 +352,21 @@ class LearnableSpatialTransformWrapper(nn.Module):
         y = rotate_image(x, angle)
         y = self.inner(y, train) if hasattr(self.inner, "__call__") else y
         return rotate_image(y, -angle)
+
+
+class SimpleMultiStepGenerator(nn.Module):
+    """Cascade of sub-generators, each fed the concat of the original input
+    and all previous outputs; returns outputs concatenated newest-first
+    (reference base.py SimpleMultiStepGenerator:53-66)."""
+
+    steps: Tuple[nn.Module, ...]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cur = x
+        outs = []
+        for step in self.steps:
+            out = step(cur, train)
+            outs.append(out)
+            cur = jnp.concatenate([cur, out], axis=-1)
+        return jnp.concatenate(outs[::-1], axis=-1)

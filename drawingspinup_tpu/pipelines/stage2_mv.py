@@ -290,10 +290,11 @@ def generate_uid(root: str, uid: str, pipe: MVPipeline,
     rgba = read_image(inp_path)
     if rgba.shape[-1] == 4:
         alpha = rgba[..., 3:4]
-        image = rgba[..., :3] * alpha + (1.0 - alpha)
+        # reference add_gray (mv.py:153-158): darken ×0.8, composite on white
+        image = rgba[..., :3] * 0.8 * alpha + (1.0 - alpha)
         drawing_mask = rgba[..., 3]
     else:
-        image = rgba[..., :3]
+        image = rgba[..., :3] * 0.8
         drawing_mask = read_image(paths.mask)[..., 0]
     size = pipe.cfg.image_size
     image = np.asarray(resize(jnp.asarray(image), (size, size)))
