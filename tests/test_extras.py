@@ -245,3 +245,34 @@ class TestFusedMLPKernel:
             pl.pallas_call = orig
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4)
+
+
+class TestQualityMetrics:
+    def test_psnr_ssim_identity(self, rng):
+        from drawingspinup_tpu.utils.quality import psnr, ssim
+        a = rng.random((32, 32, 3)).astype(np.float32)
+        assert psnr(a, a) == float("inf")
+        assert ssim(a, a) == pytest.approx(1.0, abs=1e-6)
+        noisy = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1)
+        assert 10 < psnr(a, noisy) < 30
+        assert ssim(a, noisy) < 0.99
+
+    def test_perceptual_distance(self, rng):
+        from drawingspinup_tpu.utils.quality import perceptual_distance
+        a = rng.random((32, 32, 3)).astype(np.float32)
+        assert perceptual_distance(a, a) == 0.0
+        b = np.clip(a + 0.3, 0, 1)
+        assert perceptual_distance(a, b) > 0
+
+    def test_compare_dirs(self, tmp_path, rng):
+        from drawingspinup_tpu.core.io import write_image
+        from drawingspinup_tpu.utils.quality import compare_stage_outputs
+        a = rng.random((16, 16, 3)).astype(np.float32)
+        for d in ("a", "b"):
+            os.makedirs(tmp_path / d)
+        write_image(str(tmp_path / "a" / "x.png"), a)
+        write_image(str(tmp_path / "b" / "x.png"), a)
+        write_image(str(tmp_path / "a" / "only_a.png"), a)
+        out = compare_stage_outputs(str(tmp_path / "a"), str(tmp_path / "b"))
+        assert out["x.png"]["psnr"] > 40
+        assert out["only_a.png"]["missing"]
