@@ -1,0 +1,96 @@
+"""Benchmark the NSR train step on the real TPU (default env = axon).
+
+Usage: python scripts/bench_nsr.py [--steps 20] [--size 1024]
+
+Synthetic 6-view sphere dataset at full image size; full default NSRConfig
+(2048 rays x 128 samples + 2048 random points). Sync discipline per
+PERF_NOTES.md: the axon tunnel does not honor block_until_ready, so we
+chain N steps and force one D2H read of the final loss.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from drawingspinup_tpu.core import jax_setup
+
+jax_setup.setup()
+
+import jax
+import jax.numpy as jnp
+
+from drawingspinup_tpu.train import nsr
+from drawingspinup_tpu.render.cameras import (
+    ortho_ray_grid, rays_to_world, view_matrices,
+)
+from drawingspinup_tpu.core import VIEWS
+
+
+def make_sphere_dataset(n_views=6, size=1024, radius=0.5):
+    views = list(VIEWS[:n_views])
+    c2ws, _ = view_matrices(views)
+    origins, dirs = ortho_ray_grid(size, size)
+    images, normals, masks = [], [], []
+    for c2w in c2ws:
+        ro, rd = rays_to_world(origins.reshape(-1, 3), dirs.reshape(-1, 3),
+                               c2w)
+        b = np.sum(ro * rd, -1)
+        c = np.sum(ro * ro, -1) - radius ** 2
+        disc = b * b - c
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0))
+        p = ro + t[:, None] * rd
+        n = p / radius
+        col = np.clip(0.5 + 0.5 * n, 0, 1)
+        images.append(np.where(hit[:, None], col, 0.0).reshape(size, size, 3))
+        normals.append(np.where(hit[:, None], n, 0.0).reshape(size, size, 3))
+        masks.append(hit.reshape(size, size).astype(np.float32))
+    return {
+        "images": jnp.asarray(np.stack(images), jnp.float32),
+        "normals": jnp.asarray(np.stack(normals), jnp.float32),
+        "masks": jnp.asarray(np.stack(masks), jnp.float32),
+        "view_weights": jnp.ones((n_views,), jnp.float32),
+        "c2w": jnp.asarray(c2ws, jnp.float32),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--size", type=int, default=1024)
+    args = ap.parse_args()
+
+    print(f"devices: {jax.devices()}")
+    cfg = nsr.NSRConfig()
+    data = make_sphere_dataset(size=args.size)
+    tx = nsr.make_optimizer(cfg)
+    state = nsr.init_state(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+
+    t0 = time.time()
+    for _ in range(args.warmup):
+        key, k = jax.random.split(key)
+        state, logs = nsr.train_step(cfg, tx, state, data, k)
+    loss = float(logs["loss"])  # D2H sync
+    print(f"warmup ({args.warmup} steps incl. compile): "
+          f"{time.time() - t0:.1f}s loss={loss:.4f}")
+
+    t0 = time.time()
+    for _ in range(args.steps):
+        key, k = jax.random.split(key)
+        state, logs = nsr.train_step(cfg, tx, state, data, k)
+    loss = float(logs["loss"])  # D2H sync
+    dt = time.time() - t0
+    sps = args.steps / dt
+    print(f"{args.steps} steps in {dt:.2f}s -> {sps:.3f} steps/s "
+          f"({1000 * dt / args.steps:.0f} ms/step), loss={loss:.4f}")
+    print(f"3000-step recon ≈ {3000 / sps / 60:.1f} min")
+
+
+if __name__ == "__main__":
+    main()
