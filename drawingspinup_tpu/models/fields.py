@@ -121,19 +121,21 @@ def contract(x: jnp.ndarray, radius: float) -> jnp.ndarray:
 
 
 def sdf_forward(cfg: SDFFieldConfig, params, x: jnp.ndarray,
-                level_mask: Optional[jnp.ndarray] = None
+                level_mask: Optional[jnp.ndarray] = None,
+                n_active: Optional[int] = None
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """x: (P, 3) world coords in [-r, r] → (sdf (P,), feature (P, D)).
     Note: like the reference (geometry.py:160), the feature INCLUDES the sdf
-    as channel 0."""
+    as channel 0. n_active: static active-level count (see hashgrid.encode)."""
     u = contract(x, cfg.radius)
-    enc = encode(params["table"], u, cfg.grid, level_mask)
+    enc = encode(params["table"], u, cfg.grid, level_mask, n_active)
     out = apply_mlp(cfg.mlp, params["mlp"], enc)
     return out[..., 0], out
 
 
 def sdf_with_grad_analytic(cfg: SDFFieldConfig, params, x: jnp.ndarray,
-                           level_mask: Optional[jnp.ndarray] = None):
+                           level_mask: Optional[jnp.ndarray] = None,
+                           n_active: Optional[int] = None):
     """Analytic position gradients (reference grad_type='analytic',
     geometry.py:153-157) via the MANUAL spatial jacobian of the trilinear
     interpolation + MLP jvps.
@@ -149,7 +151,7 @@ def sdf_with_grad_analytic(cfg: SDFFieldConfig, params, x: jnp.ndarray,
 
     u = contract(x, cfg.radius)
     enc, denc = encode_with_spatial_grad(params["table"], u, cfg.grid,
-                                         level_mask)
+                                         level_mask, n_active)
     mlp = lambda e: apply_mlp(cfg.mlp, params["mlp"], e)
     feat = mlp(enc)
     sdf = feat[..., 0]
@@ -165,7 +167,8 @@ def sdf_with_grad_analytic(cfg: SDFFieldConfig, params, x: jnp.ndarray,
 
 def sdf_with_grad(cfg: SDFFieldConfig, params, x: jnp.ndarray, eps,
                   level_mask: Optional[jnp.ndarray] = None,
-                  with_laplace: bool = False):
+                  with_laplace: bool = False,
+                  n_active: Optional[int] = None):
     """Finite-difference gradients (reference geometry.py:158-187): the 6
     offset probes and the center run as ONE batched field evaluation."""
     p = x.shape[0]
@@ -174,7 +177,7 @@ def sdf_with_grad(cfg: SDFFieldConfig, params, x: jnp.ndarray, eps,
     probes = jnp.clip(x[:, None, :] + eps * offsets[None], -cfg.radius,
                       cfg.radius)                         # (P, 6, 3)
     all_pts = jnp.concatenate([x, probes.reshape(-1, 3)], axis=0)
-    sdf_all, feat_all = sdf_forward(cfg, params, all_pts, level_mask)
+    sdf_all, feat_all = sdf_forward(cfg, params, all_pts, level_mask, n_active)
     sdf = sdf_all[:p]
     feature = feat_all[:p]
     d = sdf_all[p:].reshape(p, 6)

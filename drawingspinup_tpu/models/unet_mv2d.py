@@ -118,13 +118,23 @@ class UNetMV2D(nn.Module):
         sincos embeddings."""
         c = self.cfg
         ch0 = c.block_out_channels[0]
+        min_hw = 1 << (len(c.block_out_channels) - 1)
+        if sample.shape[1] < min_hw or sample.shape[2] < min_hw:
+            raise ValueError(
+                f"latent {sample.shape[1]}×{sample.shape[2]} too small for "
+                f"{len(c.block_out_channels)} UNet levels (needs ≥ {min_hw}): "
+                "skip connections cannot align once a downsample floors at 1")
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
-        temb = timestep_embedding(timesteps, ch0)
+        # sincos computed in f32 for precision, then cast to the compute
+        # dtype so a bf16 sample keeps the whole graph bf16 (f32 leaks here
+        # would promote every temb-add downstream back to f32)
+        temb = timestep_embedding(timesteps, ch0).astype(sample.dtype)
         temb = TimestepEmbedMLP(ch0 * 4, name="time_embedding")(temb)
         if class_labels is not None:
             temb = temb + TimestepEmbedMLP(
-                ch0 * 4, name="class_embedding")(class_labels)
+                ch0 * 4, name="class_embedding")(
+                class_labels.astype(sample.dtype))
 
         h = nn.Conv(ch0, (3, 3), padding=1, name="conv_in")(sample)
         skips = [h]

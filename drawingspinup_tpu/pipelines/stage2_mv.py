@@ -102,6 +102,11 @@ class MVPipelineConfig:
     guidance_scale: float = 1.0
     eta: float = 1.0
     out_size: int = 1024
+    # UNet compute dtype for the denoise loop. The reference samples in fp16
+    # (mv.py:36 torch_dtype=float16); bfloat16 is the TPU-native analog —
+    # MXU-rate matmuls, no loss scaling needed. DDIM scheduler math and the
+    # one-shot VAE/CLIP passes stay float32.
+    compute_dtype: str = "bfloat16"
 
     def clip_config(self) -> CLIPVisionConfig:
         if self.clip is not None:
@@ -186,8 +191,15 @@ class MVPipeline:
 
         unet = self.unet
         acp = self.acp
-        params = self.params["unet"]
         eta = cfg.eta
+        cdt = jnp.dtype(cfg.compute_dtype)
+        # bf16 mixed precision: UNet params + activations in compute_dtype,
+        # latents and DDIM update in f32
+        params = jax.tree_util.tree_map(lambda p: p.astype(cdt),
+                                        self.params["unet"])
+        embeds_c = embeds.astype(cdt)
+        cam_c = cam.astype(cdt)
+        cond_c = cond_latents.astype(cdt)
 
         @jax.jit
         def sample_loop(latents, key):
@@ -195,9 +207,9 @@ class MVPipeline:
                 lat, key = carry
                 key, kn = jax.random.split(key)
                 t = ts[i]
-                inp = jnp.concatenate([lat, cond_latents], axis=-1)
+                inp = jnp.concatenate([lat.astype(cdt), cond_c], axis=-1)
                 eps = unet.apply({"params": params}, inp,
-                                 t, embeds, cam)
+                                 t, embeds_c, cam_c).astype(jnp.float32)
                 noise = jax.random.normal(kn, lat.shape)
                 lat = D.ddim_step(cfg.ddim, acp, eps, t, ts_prev[i], lat,
                                   eta=eta, noise=noise)

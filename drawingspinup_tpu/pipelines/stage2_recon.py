@@ -136,14 +136,20 @@ def eval_sdf_grid(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
 def isosurface(cfg: nsr.NSRConfig, params, resolution: int = 512,
                front_mask: Optional[np.ndarray] = None,
                face_count: int = 50000, remeshing: bool = True,
-               chunk: int = 262144) -> Tuple[np.ndarray, np.ndarray]:
+               chunk: int = 262144, step: int = 10 ** 9
+               ) -> Tuple[np.ndarray, np.ndarray]:
     """Two-pass (coarse → bbox → fine) extraction with optional front-mask
-    carving, smoothing of the binary field, and quadric remesh."""
+    carving, smoothing of the binary field, and quadric remesh.
+
+    step: progressive-band state for the mask — pass the FINAL TRAINING step
+    so hash levels never unlocked during training stay masked at export
+    (reference ProgressiveBandHashGrid keeps its mask at test time; an
+    all-ones mask would leak init noise from untrained tables)."""
     r = cfg.radius
     # coarse pass at a reduced resolution — only the bbox matters
     coarse_res = min(resolution, 128)
     level = eval_sdf_grid(cfg, params, np.array([-r] * 3), np.array([r] * 3),
-                          coarse_res, chunk)
+                          coarse_res, chunk, step=step)
     v_c, _ = extract_isosurface((level <= 0).astype(np.float32), sigma=1.0)
     if len(v_c) == 0:
         raise RuntimeError("empty isosurface (no negative SDF region)")
@@ -151,7 +157,8 @@ def isosurface(cfg: nsr.NSRConfig, params, resolution: int = 512,
     vmin = np.clip(v_c.min(0) - (v_c.max(0) - v_c.min(0)) * 0.1, -r, r)
     vmax = np.clip(v_c.max(0) + (v_c.max(0) - v_c.min(0)) * 0.1, -r, r)
 
-    level = eval_sdf_grid(cfg, params, vmin, vmax, resolution, chunk)
+    level = eval_sdf_grid(cfg, params, vmin, vmax, resolution, chunk,
+                          step=step)
     binary = (level <= 0)
     if front_mask is not None:
         size = front_mask.shape[0] / 2
@@ -230,7 +237,12 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
     t0 = time.time()
     for step in range(start_step, cfg.max_steps):
         key, k = jax.random.split(key)
-        state, logs = nsr.train_step(cfg, tx, state, data, k)
+        # static active-level count: locked hash levels are elided from the
+        # graph (no gathers/scatters); recompiles once per unlock, amortized
+        # by the persistent compilation cache
+        n_active = cfg.sdf.grid.current_level(step)
+        state, logs = nsr.train_step(cfg, tx, state, data, k,
+                                     n_active=n_active)
         if log_every and step % log_every == 0:
             print(f"[recon {uid}] step {step}: "
                   f"loss={float(logs['loss']):.4f} "
@@ -243,7 +255,7 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
     verts, faces = isosurface(
         cfg, state.params, resolution=mc_resolution,
         front_mask=front_mask if front_cutting else None,
-        face_count=face_count)
+        face_count=face_count, step=cfg.max_steps)
 
     # colors for the non-backprojection path: albedo from the radiance field
     vert_colors = None
@@ -251,7 +263,10 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
         from drawingspinup_tpu.models.fields import (
             radiance_forward, sdf_with_grad,
         )
-        level_mask = progressive_mask(cfg.sdf.grid, jnp.asarray(10 ** 9))
+        # band mask frozen at the final training step (untrained levels stay
+        # masked — reference keeps ProgressiveBandHashGrid's mask at test)
+        level_mask = progressive_mask(cfg.sdf.grid,
+                                      jnp.asarray(cfg.max_steps))
         sdf, grad, feat = sdf_with_grad(cfg.sdf, state.params["geometry"],
                                         jnp.asarray(verts), 1e-3, level_mask)
         n = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1, keepdims=True),

@@ -146,12 +146,19 @@ def _occ_alpha(sdf: jnp.ndarray, step_size, s: jnp.ndarray) -> jnp.ndarray:
 
 def render_rays(cfg: NSRConfig, params, rays_o: jnp.ndarray,
                 rays_d: jnp.ndarray, key: Optional[jax.Array],
-                step: jnp.ndarray, train: bool) -> Dict[str, jnp.ndarray]:
+                step: jnp.ndarray, train: bool,
+                n_active: Optional[int] = None) -> Dict[str, jnp.ndarray]:
     """rays_o/d: (R, 3) → composited rgb/normal/opacity/depth + training aux.
 
     Two-pass sampling: n_coarse stratified uniform (cheap sdf-only eval) →
     inverse-CDF importance resampling of n_fine → single full eval with
     finite-difference gradients over the merged, sorted sample set.
+
+    n_active: STATIC count of unlocked hash levels (progressive band) — the
+    gathers/scatters of locked levels are elided from the graph entirely
+    (see hashgrid.encode). Must satisfy
+    n_active ≥ cfg.sdf.grid.current_level(step) or features get zeroed that
+    the band mask would keep.
     """
     rkeys = jax.random.split(key, 3) if key is not None else [None] * 3
     level_mask = progressive_mask(cfg.sdf.grid, step)
@@ -171,7 +178,7 @@ def render_rays(cfg: NSRConfig, params, rays_o: jnp.ndarray,
     pos_c = rays_o[:, None, :] + rays_d[:, None, :] * t_c[..., None]
     step_c = (t_far - t_near)[:, None] / cfg.n_coarse
     sdf_c, _ = sdf_forward(cfg.sdf, jax.lax.stop_gradient(params["geometry"]),
-                           pos_c.reshape(-1, 3), level_mask)
+                           pos_c.reshape(-1, 3), level_mask, n_active)
     sdf_c = sdf_c.reshape(t_c.shape)
     w_c = _occ_alpha(sdf_c, step_c, jax.lax.stop_gradient(s))
 
@@ -186,12 +193,13 @@ def render_rays(cfg: NSRConfig, params, rays_o: jnp.ndarray,
     # ---- full eval with gradients ----
     if cfg.grad_type == "finite_difference":
         field = partial(sdf_with_grad, cfg.sdf, params["geometry"],
-                        eps=fd_eps, level_mask=level_mask)
+                        eps=fd_eps, level_mask=level_mask, n_active=n_active)
         sdf, grad, feature = jax.checkpoint(
             lambda pts: field(pts))(pos.reshape(-1, 3))
     else:
         field = partial(fields.sdf_with_grad_analytic, cfg.sdf,
-                        params["geometry"], level_mask=level_mask)
+                        params["geometry"], level_mask=level_mask,
+                        n_active=n_active)
         sdf, grad, feature = field(pos.reshape(-1, 3))
     S = cfg.n_samples
     sdf = sdf.reshape(-1, S)
@@ -322,17 +330,22 @@ def compute_losses(cfg: NSRConfig, out: Dict[str, jnp.ndarray],
     return total, logs
 
 
-@partial(jax.jit, static_argnames=("cfg", "tx"))
+@partial(jax.jit, static_argnames=("cfg", "tx", "n_active"))
 def train_step(cfg: NSRConfig, tx, state: TrainState,
-               data: Dict[str, jnp.ndarray], key: jax.Array
+               data: Dict[str, jnp.ndarray], key: jax.Array,
+               n_active: Optional[int] = None
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One jitted optimization step. n_active (static): number of unlocked
+    hash levels for this phase of the progressive band — the driver loop
+    recompiles at each unlock (persistent cache amortizes this across uids)
+    and locked levels cost zero gathers/scatters."""
     k_pix, k_render = jax.random.split(key)
     rays_o, rays_d, targets = sample_pixel_rays(k_pix, data,
                                                 cfg.train_num_rays)
 
     def loss_fn(params):
         out = render_rays(cfg, params, rays_o, rays_d, k_render, state.step,
-                          train=True)
+                          train=True, n_active=n_active)
         out["rays_d"] = rays_d
         return compute_losses(cfg, out, targets)
 

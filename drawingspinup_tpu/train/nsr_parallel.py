@@ -25,8 +25,11 @@ from jax.experimental.shard_map import shard_map
 from drawingspinup_tpu.train import nsr
 
 
-def make_train_step_dp(cfg: nsr.NSRConfig, tx, mesh: Mesh):
-    """Build a jitted data-parallel train step for the given mesh."""
+def make_train_step_dp(cfg: nsr.NSRConfig, tx, mesh: Mesh,
+                       n_active: int = None):
+    """Build a jitted data-parallel train step for the given mesh.
+    n_active: static unlocked-hash-level count (see nsr.train_step) — build
+    one step per progressive-band phase."""
     ndp = mesh.shape["dp"]
     rays_per_device = max(cfg.train_num_rays // ndp, 1)
 
@@ -35,7 +38,7 @@ def make_train_step_dp(cfg: nsr.NSRConfig, tx, mesh: Mesh):
         rays_o, rays_d, targets = nsr.sample_pixel_rays(
             k_pix, data, rays_per_device)
         out = nsr.render_rays(cfg, params, rays_o, rays_d, k_render, step,
-                              train=True)
+                              train=True, n_active=n_active)
         out["rays_d"] = rays_d
         loss, logs = nsr.compute_losses(cfg, out, targets)
         return loss, logs

@@ -63,6 +63,9 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--n-active", type=int, default=None,
+                    help="static unlocked-level count (progressive band "
+                         "phase); default = all levels gathered")
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}")
@@ -75,7 +78,8 @@ def main():
     t0 = time.time()
     for _ in range(args.warmup):
         key, k = jax.random.split(key)
-        state, logs = nsr.train_step(cfg, tx, state, data, k)
+        state, logs = nsr.train_step(cfg, tx, state, data, k,
+                                     n_active=args.n_active)
     loss = float(logs["loss"])  # D2H sync
     print(f"warmup ({args.warmup} steps incl. compile): "
           f"{time.time() - t0:.1f}s loss={loss:.4f}")
@@ -83,7 +87,8 @@ def main():
     t0 = time.time()
     for _ in range(args.steps):
         key, k = jax.random.split(key)
-        state, logs = nsr.train_step(cfg, tx, state, data, k)
+        state, logs = nsr.train_step(cfg, tx, state, data, k,
+                                     n_active=args.n_active)
     loss = float(logs["loss"])  # D2H sync
     dt = time.time() - t0
     sps = args.steps / dt

@@ -65,6 +65,36 @@ class TestHashGrid:
         e2 = float(finite_difference_eps(cfg, jnp.asarray(250)))
         assert e2 < e0  # eps shrinks as levels activate
 
+    def test_n_active_gating_matches_mask(self, rng):
+        """Static level gating (gathers elided) ≡ multiplying by the band
+        mask — for both encode and the spatial-jacobian path, values AND
+        table gradients."""
+        from drawingspinup_tpu.models.hashgrid import encode_with_spatial_grad
+        cfg = dataclasses.replace(TINY_GRID, start_level=2)
+        table = init_table(cfg, jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.random((32, 3)).astype(np.float32))
+        for step in (0, 150):
+            mask = progressive_mask(cfg, jnp.asarray(step))
+            n_act = cfg.current_level(step)
+            e_mask = encode(table, x, cfg, mask)
+            e_gate = encode(table, x, cfg, mask, n_active=n_act)
+            np.testing.assert_allclose(np.asarray(e_mask),
+                                       np.asarray(e_gate), atol=1e-7)
+            em, dm = encode_with_spatial_grad(table, x, cfg, mask)
+            eg, dg = encode_with_spatial_grad(table, x, cfg, mask,
+                                              n_active=n_act)
+            np.testing.assert_allclose(np.asarray(em), np.asarray(eg),
+                                       atol=1e-7)
+            np.testing.assert_allclose(np.asarray(dm), np.asarray(dg),
+                                       atol=1e-7)
+            g_mask = jax.grad(lambda t: jnp.sum(
+                encode(t, x, cfg, mask) ** 2))(table)
+            g_gate = jax.grad(lambda t: jnp.sum(
+                encode(t, x, cfg, mask, n_active=n_act) ** 2))(table)
+            for gm, gg in zip(g_mask, g_gate):
+                np.testing.assert_allclose(np.asarray(gm), np.asarray(gg),
+                                           atol=1e-7)
+
     def test_grad_matches_autodiff_dense_region(self, rng):
         """FD gradient ≈ autodiff gradient for smooth (dense-grid) encoding."""
         cfg = SDFFieldConfig(grid=TINY_GRID)
@@ -232,6 +262,28 @@ class TestTrainStep:
         last = float(logs["loss"])
         assert np.isfinite(last)
         assert last < first, (first, last)
+
+    def test_n_active_step_equivalent(self):
+        """A train step with static level gating produces the same loss and
+        parameters as the mask-only graph."""
+        data = make_sphere_dataset()
+        grid = dataclasses.replace(TINY_GRID, start_level=2)
+        cfg = dataclasses.replace(
+            TINY_NSR, sdf=dataclasses.replace(TINY_NSR.sdf, grid=grid))
+        tx = nsr.make_optimizer(cfg)
+        state0 = nsr.init_state(cfg, jax.random.PRNGKey(0))
+        k = jax.random.PRNGKey(7)
+        s_full, logs_full = nsr.train_step(cfg, tx, state0, data, k)
+        n_act = grid.current_level(0)
+        assert n_act < grid.n_levels
+        s_gate, logs_gate = nsr.train_step(cfg, tx, state0, data, k,
+                                           n_active=n_act)
+        np.testing.assert_allclose(float(logs_full["loss"]),
+                                   float(logs_gate["loss"]), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                        jax.tree_util.tree_leaves(s_gate.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
 
     def test_render_image_shapes(self):
         cfg = TINY_NSR
