@@ -41,6 +41,10 @@ class HashGridConfig:
     start_level: int = 4
     start_step: int = 0
     update_steps: int = 1000
+    # table storage dtype: float32 | bfloat16. bfloat16 halves HBM and
+    # scatter byte traffic (tcnn stores fp16; bf16 is the TPU analog —
+    # no loss scaling needed). Interpolation math always runs f32.
+    table_dtype: str = "float32"
 
     @property
     def table_size(self) -> int:
@@ -68,11 +72,13 @@ def init_table(cfg: HashGridConfig, key: jax.Array):
     coarse ones stay cache-resident), measured several × faster than
     scattering into one concatenated table."""
     tables = []
+    dt = jnp.dtype(cfg.table_dtype)
     for l, r in enumerate(cfg.level_resolutions()):
         t_l = min(int(r + 1) ** 3, cfg.table_size)
         key, k = jax.random.split(key)
         tables.append(jax.random.uniform(
-            k, (t_l, cfg.n_features_per_level), jnp.float32, -1e-4, 1e-4))
+            k, (t_l, cfg.n_features_per_level), jnp.float32,
+            -1e-4, 1e-4).astype(dt))
     return tuple(tables)
 
 
@@ -153,7 +159,10 @@ def _level_interp(tab, px, py, pz, r, cfg, with_grad):
                         ^ (cy * np.uint32(_PRIMES[1])) \
                         ^ (cz * np.uint32(_PRIMES[2]))
                     idx = idx & np.uint32(T - 1)
-                pair = tab[idx.astype(jnp.int32)]        # (P, F) row gather
+                # row gather; f32 math regardless of storage dtype — for a
+                # bf16 table the cast's VJP re-quantizes the cotangent so
+                # the backward scatter-add moves half the bytes
+                pair = tab[idx.astype(jnp.int32)].astype(jnp.float32)
                 ux = wx if dx else 1.0 - wx
                 uy = wy if dy else 1.0 - wy
                 uz = wz if dz else 1.0 - wz

@@ -327,6 +327,7 @@ def nsr_config_from_yaml(cfg: Config) -> nsr.NSRConfig:
         start_level=enc.get("start_level", 4),
         start_step=enc.get("start_step", 0),
         update_steps=enc.get("update_steps", 1000),
+        table_dtype=enc.get("table_dtype", "float32"),
     )
     sdf = SDFFieldConfig(
         radius=m.get("radius", 1.0),

@@ -113,8 +113,11 @@ def make_optimizer(cfg: NSRConfig) -> optax.GradientTransformation:
         return fn
 
     def adamw(lr):
+        # mu_dtype f32: with bf16 hash tables the moments must not inherit
+        # the storage dtype or Adam's EMA loses the small-gradient tail
         return optax.adamw(learning_rate=schedule(lr), b1=0.9, b2=0.99,
-                           eps=1e-15, weight_decay=0.0)
+                           eps=1e-15, weight_decay=0.0,
+                           mu_dtype=jnp.float32)
 
     return optax.multi_transform(
         {"geometry": adamw(cfg.lr_geometry),

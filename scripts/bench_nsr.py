@@ -66,10 +66,17 @@ def main():
     ap.add_argument("--n-active", type=int, default=None,
                     help="static unlocked-level count (progressive band "
                          "phase); default = all levels gathered")
+    ap.add_argument("--table-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}")
     cfg = nsr.NSRConfig()
+    if args.table_dtype != "float32":
+        import dataclasses
+        grid = dataclasses.replace(cfg.sdf.grid, table_dtype=args.table_dtype)
+        cfg = dataclasses.replace(
+            cfg, sdf=dataclasses.replace(cfg.sdf, grid=grid))
     data = make_sphere_dataset(size=args.size)
     tx = nsr.make_optimizer(cfg)
     state = nsr.init_state(cfg, jax.random.PRNGKey(0))

@@ -263,6 +263,27 @@ class TestTrainStep:
         assert np.isfinite(last)
         assert last < first, (first, last)
 
+    def test_bf16_tables_converge(self):
+        """bfloat16 table storage (f32 math, f32 Adam moments) still drives
+        the sphere loss down; tables stay bf16 through the update."""
+        data = make_sphere_dataset()
+        grid = dataclasses.replace(TINY_GRID, table_dtype="bfloat16")
+        cfg = dataclasses.replace(
+            TINY_NSR, sdf=dataclasses.replace(TINY_NSR.sdf, grid=grid))
+        tx = nsr.make_optimizer(cfg)
+        state = nsr.init_state(cfg, jax.random.PRNGKey(0))
+        assert state.params["geometry"]["table"][0].dtype == jnp.bfloat16
+        key = jax.random.PRNGKey(1)
+        first = None
+        for i in range(60):
+            key, k = jax.random.split(key)
+            state, logs = nsr.train_step(cfg, tx, state, data, k)
+            if i == 0:
+                first = float(logs["loss"])
+        assert state.params["geometry"]["table"][0].dtype == jnp.bfloat16
+        last = float(logs["loss"])
+        assert np.isfinite(last) and last < first, (first, last)
+
     def test_n_active_step_equivalent(self):
         """A train step with static level gating produces the same loss and
         parameters as the mask-only graph."""
