@@ -234,12 +234,43 @@ class MVPipeline:
 # mask derivation (mv.py:105-126)
 # ---------------------------------------------------------------------------
 
+_ISNET_CACHE: Dict[str, object] = {}
+
+
+def _isnet_variables():
+    """Load ISNet weights once: DSU_ISNET_CKPT may point to a torch
+    state_dict (.pth/.pt, loaded via torch) or an .npz of the same keys."""
+    path = os.environ.get("DSU_ISNET_CKPT")
+    if not path or not os.path.exists(path):
+        return None
+    if "vars" not in _ISNET_CACHE:
+        import jax as _jax
+
+        from drawingspinup_tpu.models.isnet import (
+            ISNetDIS, port_isnet_torch_state,
+        )
+        if path.endswith(".npz"):
+            state = dict(np.load(path))
+        else:
+            import torch
+            sd = torch.load(path, map_location="cpu")
+            state = {k: v.numpy() for k, v in sd.items()}
+        variables = ISNetDIS().init(
+            _jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        _ISNET_CACHE["vars"] = port_isnet_torch_state(state, variables)
+    return _ISNET_CACHE["vars"]
+
+
 def background_removal(img: np.ndarray, bg_color: float = 1.0,
                        threshold: float = 0.1) -> np.ndarray:
-    """Heuristic foreground mask: distance from the background color with
-    morphological cleanup. Stands in for the reference's ISNet onnx model
-    (``isnet_dis.onnx`` — weights not shippable here); plug in an ISNet
-    runner via the ``DSU_ISNET_ONNX`` env var when available."""
+    """Foreground mask for the side views (reference remove_background,
+    mv.py:134-151, ISNet DIS). Priority: native flax ISNet
+    (``DSU_ISNET_CKPT`` torch/npz weights, models/isnet.py) → onnxruntime
+    (``DSU_ISNET_ONNX``) → heuristic background-distance matte."""
+    variables = _isnet_variables()
+    if variables is not None:
+        from drawingspinup_tpu.models.isnet import isnet_predict
+        return isnet_predict(variables, img)
     onnx_path = os.environ.get("DSU_ISNET_ONNX")
     if onnx_path and os.path.exists(onnx_path):
         try:
