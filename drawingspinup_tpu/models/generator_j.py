@@ -216,16 +216,29 @@ def ric_shift_weights(h: int, w: int) -> np.ndarray:
 
 
 def shift2d(x: jnp.ndarray, sy: int, sx: int) -> jnp.ndarray:
-    """Static integer shift with zero fill (NHWC)."""
-    n, h, w, c = x.shape
-    pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    return jax.lax.dynamic_slice(pad, (0, 1 + sy, 1 + sx, 0), (n, h, w, c))
+    """Static integer shift with zero fill along dims 1 (H) and 2 (W);
+    any rank ≥ 3."""
+    pad = [(0, 0)] * x.ndim
+    pad[1] = pad[2] = (1, 1)
+    padded = jnp.pad(x, pad)
+    start = [0] * x.ndim
+    start[1], start[2] = 1 + sy, 1 + sx
+    return jax.lax.dynamic_slice(padded, start, x.shape)
 
 
 class RICConv(nn.Module):
     """3×3 rotation-invariant conv (deform_conv2d replacement) as
-    shift-and-lerp: 9 static shifts × per-pixel weights → per-tap samples →
-    tap-contracted matmul. Gather-free (see ric_shift_weights)."""
+    shift-and-lerp: per-pixel bilinear tap weights over 9 STATIC shifts.
+    Gather-free (see ric_shift_weights).
+
+    Op-count design: the channel matmul commutes with the static shifts
+    (shift(x)·Wk = shift(x·Wk), zero fill included), so the matmul runs
+    FIRST for all 9 taps in one einsum and the shift-lerp contracts taps on
+    its output — 1 einsum + 9 shifted contractions per layer instead of the
+    naive 81 shift-multiply paths + 9 matmuls. Measured on v5e: the naive
+    form's BACKWARD cost 10× its forward (44 ms/step for the stage-3 GAN
+    step) because XLA accumulates 81 gradient paths per layer; this form
+    cut the full GAN step to a fraction (see PERF_NOTES.md)."""
 
     features: int
     use_bias: bool = False
@@ -233,18 +246,19 @@ class RICConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         h, w = x.shape[1], x.shape[2]
-        sw = jnp.asarray(ric_shift_weights(h, w))         # (9, 9, H, W)
+        sw = jnp.asarray(ric_shift_weights(h, w))         # (9 taps, 9 sh, H, W)
         wk = self.param("kernel", nn.initializers.he_normal(),
                         (9, x.shape[-1], self.features))
         shifts = [(sy, sx) for sy in (-1, 0, 1) for sx in (-1, 0, 1)]
+        z = jnp.einsum("nhwc,tco->nhwto", x, wk.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        # per-shift pad+slice (shift2d), NOT one shared padded tensor: XLA
+        # fuses each pad/slice into its consumer; a materialized pad
+        # measured 13% slower end-to-end
         out = None
-        for tap in range(9):
-            s = None
-            for i, (sy, sx) in enumerate(shifts):
-                wmap = sw[tap, i][None, :, :, None]
-                term = shift2d(x, sy, sx) * wmap.astype(x.dtype)
-                s = term if s is None else s + term
-            t = jnp.einsum("nhwc,co->nhwo", s, wk[tap].astype(x.dtype),
+        for i, (sy, sx) in enumerate(shifts):
+            t = jnp.einsum("nhwto,thw->nhwo", shift2d(z, sy, sx),
+                           sw[:, i].astype(x.dtype),
                            preferred_element_type=jnp.float32).astype(x.dtype)
             out = t if out is None else out + t
         if self.use_bias:
@@ -349,7 +363,11 @@ class PerceptualVGG19(nn.Module):
     _PLAN = [(0, 64), (2, 64), (5, 128), (7, 128)]  # (feature idx, channels)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, as_list: bool = False):
+        """as_list=True returns the raw NHWC feature maps — the perceptual
+        loss only needs per-map squared sums, and the flatten+concat of the
+        default path forces tiled-layout relayouts that cost ~20 ms/step on
+        TPU (measured; the whole conv stack is ~1 ms)."""
         if self.use_normalization:
             mean = jnp.asarray([0.485, 0.456, 0.406])
             std = jnp.asarray([0.229, 0.224, 0.225])
@@ -372,6 +390,8 @@ class PerceptualVGG19(nn.Module):
                 outs.append(h)
             if len(outs) == len(self.feature_layers):
                 break
+        if as_list:
+            return outs
         flat = [o.reshape(o.shape[0], -1) for o in outs]
         return jnp.concatenate(flat, axis=-1)
 

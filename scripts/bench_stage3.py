@@ -42,8 +42,9 @@ def main():
     key = jax.random.PRNGKey(1)
 
     n_valid = int(mask.sum())
-    batches_per_epoch = max(n_valid // (cfg.batch_size * cfg.patch_size ** 2),
-                            1)
+    # epoch = one pass over the valid midpoints (reference DatasetPatches_M:
+    # one 32x32 patch per valid pixel, batch 40)
+    batches_per_epoch = max(n_valid // cfg.batch_size, 1)
 
     t0 = time.time()
     for _ in range(3):
