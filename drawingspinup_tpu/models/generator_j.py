@@ -215,6 +215,31 @@ def ric_shift_weights(h: int, w: int) -> np.ndarray:
     return out
 
 
+def ric_shifted_weights(h: int, w: int) -> np.ndarray:
+    """(9 shifts, 9 taps, H, W) float32: ``ric_shift_weights`` re-expressed in
+    the SHIFTED pixel frame — ``swf[i, t, a, b] = sw[t, i, a−sy_i, b−sx_i]``
+    (zero beyond the border).
+
+    With these, the shift-lerp becomes
+        y[n,a,b,i,o] = Σ_t swf[i,t,a,b] · z[n,a,b,t,o]
+        out          = Σ_i shift2d(y[..., i, :], sy_i, sx_i)
+    which is algebraically identical to the per-shift form (each out[h,w]
+    contribution i reads y at [h+sy_i, w+sx_i], where swf equals the original
+    sw at [h, w]) — but the (N,H,W,9,O)-sized tensors are now written and
+    read ONCE per direction. The per-shift form reads z 9× in the forward and
+    its transpose accumulates dz nine times in the backward, which measured
+    8.6× forward cost for the stage-3 GAN generator gradient (see
+    PERF_NOTES.md)."""
+    sw = ric_shift_weights(h, w)                          # (9t, 9i, H, W)
+    shifts = [(sy, sx) for sy in (-1, 0, 1) for sx in (-1, 0, 1)]
+    swf = np.zeros((9, 9, h, w), np.float32)
+    for i, (sy, sx) in enumerate(shifts):
+        src = sw[:, i]                                    # (9t, H, W)
+        pad = np.pad(src, ((0, 0), (1, 1), (1, 1)))
+        swf[i] = pad[:, 1 - sy:1 - sy + h, 1 - sx:1 - sx + w]
+    return swf
+
+
 def shift2d(x: jnp.ndarray, sy: int, sx: int) -> jnp.ndarray:
     """Static integer shift with zero fill along dims 1 (H) and 2 (W);
     any rank ≥ 3."""
@@ -231,36 +256,46 @@ class RICConv(nn.Module):
     shift-and-lerp: per-pixel bilinear tap weights over 9 STATIC shifts.
     Gather-free (see ric_shift_weights).
 
-    Op-count design: the channel matmul commutes with the static shifts
-    (shift(x)·Wk = shift(x·Wk), zero fill included), so the matmul runs
-    FIRST for all 9 taps in one einsum and the shift-lerp contracts taps on
-    its output — 1 einsum + 9 shifted contractions per layer instead of the
-    naive 81 shift-multiply paths + 9 matmuls. Measured on v5e: the naive
-    form's BACKWARD cost 10× its forward (44 ms/step for the stage-3 GAN
-    step) because XLA accumulates 81 gradient paths per layer; this form
-    cut the full GAN step to a fraction (see PERF_NOTES.md)."""
+    Op-count design, two steps (PERF_NOTES.md has the measured history):
+      1. the channel matmul commutes with the static shifts
+         (shift(x)·Wk = shift(x·Wk), zero fill included), so it runs FIRST
+         for all 9 taps in one einsum;
+      2. the tap→shift contraction uses ``ric_shifted_weights`` (weights
+         re-expressed in the shifted frame), so the output is a sum of 9
+         statically shifted SLICES of one contracted tensor. Both einsums
+         touch the (N,H,W,9,O) intermediates once per direction; the
+         per-shift formulation read them 9× forward and accumulated the
+         cotangent 9× backward (measured G-grad 8.6× G-forward)."""
 
     features: int
     use_bias: bool = False
+    variant: str = "fused"   # "fused" (1-write/1-read) | "pershift" (9 reads)
 
     @nn.compact
     def __call__(self, x):
         h, w = x.shape[1], x.shape[2]
-        sw = jnp.asarray(ric_shift_weights(h, w))         # (9 taps, 9 sh, H, W)
         wk = self.param("kernel", nn.initializers.he_normal(),
                         (9, x.shape[-1], self.features))
         shifts = [(sy, sx) for sy in (-1, 0, 1) for sx in (-1, 0, 1)]
         z = jnp.einsum("nhwc,tco->nhwto", x, wk.astype(x.dtype),
                        preferred_element_type=jnp.float32).astype(x.dtype)
-        # per-shift pad+slice (shift2d), NOT one shared padded tensor: XLA
-        # fuses each pad/slice into its consumer; a materialized pad
-        # measured 13% slower end-to-end
         out = None
-        for i, (sy, sx) in enumerate(shifts):
-            t = jnp.einsum("nhwto,thw->nhwo", shift2d(z, sy, sx),
-                           sw[:, i].astype(x.dtype),
+        if self.variant == "fused":
+            swf = jnp.asarray(ric_shifted_weights(h, w))  # (9 sh, 9 taps, H, W)
+            y = jnp.einsum("nhwto,ithw->nhwio", z, swf.astype(x.dtype),
                            preferred_element_type=jnp.float32).astype(x.dtype)
-            out = t if out is None else out + t
+            for i, (sy, sx) in enumerate(shifts):
+                t = shift2d(y[:, :, :, i, :], sy, sx)
+                out = t if out is None else out + t
+        else:
+            sw = jnp.asarray(ric_shift_weights(h, w))     # (9 taps, 9 sh, H, W)
+            # per-shift pad+slice (shift2d), NOT one shared padded tensor:
+            # XLA fuses each pad/slice into its consumer
+            for i, (sy, sx) in enumerate(shifts):
+                t = jnp.einsum("nhwto,thw->nhwo", shift2d(z, sy, sx),
+                               sw[:, i].astype(x.dtype),
+                               preferred_element_type=jnp.float32).astype(x.dtype)
+                out = t if out is None else out + t
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (self.features,))
@@ -276,6 +311,7 @@ class GeneratorJ_RIC(nn.Module):
     use_bias: bool = False
     tanh: bool = True
     append_smoothers: bool = True
+    ric_variant: str = "fused"   # see RICConv.variant
 
     def _norm_act(self, y, act, train, name):
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -286,36 +322,36 @@ class GeneratorJ_RIC(nn.Module):
     def __call__(self, x, train: bool = False):
         f = self.filters
         maxpool = partial(nn.max_pool, window_shape=(2, 2), strides=(2, 2))
-        out0 = self._norm_act(RICConv(f[0], name="conv0")(x), "leaky", train,
+        out0 = self._norm_act(RICConv(f[0], variant=self.ric_variant, name="conv0")(x), "leaky", train,
                               "bn0")
-        out1 = self._norm_act(RICConv(f[1], name="conv1")(maxpool(out0)),
+        out1 = self._norm_act(RICConv(f[1], variant=self.ric_variant, name="conv1")(maxpool(out0)),
                               "leaky", train, "bn1")
-        out2 = self._norm_act(RICConv(f[2], name="conv2")(maxpool(out1)),
+        out2 = self._norm_act(RICConv(f[2], variant=self.ric_variant, name="conv2")(maxpool(out1)),
                               "leaky", train, "bn2")
         h = out2
         for i in range(self.resnet_blocks):
             t = jax.nn.relu(h)
-            t = RICConv(f[2], name=f"res{i}_conv0")(t)
+            t = RICConv(f[2], variant=self.ric_variant, name=f"res{i}_conv0")(t)
             t = self._norm_act(t, "relu", train, f"res{i}_bn")
-            t = RICConv(f[2], name=f"res{i}_conv1")(t)
+            t = RICConv(f[2], variant=self.ric_variant, name=f"res{i}_conv1")(t)
             h = t + h
         h = jnp.concatenate([h, out2], axis=-1)
         h = upsample2x(h)
-        h = RICConv(f[4], name="upconv2")(h)
+        h = RICConv(f[4], variant=self.ric_variant, name="upconv2")(h)
         h = self._norm_act(h, "relu", train, "up2_bn")
         h = jnp.concatenate([h, out1], axis=-1)
         h = upsample2x(h)
-        h = RICConv(f[4], name="upconv1")(h)
+        h = RICConv(f[4], variant=self.ric_variant, name="upconv1")(h)
         h = self._norm_act(h, "relu", train, "up1_bn")
         h = jnp.concatenate([h, out0, x], axis=-1)
-        h = jax.nn.relu(RICConv(f[5], name="conv_11")(h))
+        h = jax.nn.relu(RICConv(f[5], variant=self.ric_variant, name="conv_11")(h))
         if self.append_smoothers:
-            t = jax.nn.relu(RICConv(f[5], name="smooth0")(h))
+            t = jax.nn.relu(RICConv(f[5], variant=self.ric_variant, name="smooth0")(h))
             t = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name="smooth_bn")(t)
             # NOTE: reference conv_11_a feeds conv index 3 from `output`, not
             # the intermediate (models.py:349-352) — preserved here.
-            h = jax.nn.relu(RICConv(f[5], name="smooth1")(h))
+            h = jax.nn.relu(RICConv(f[5], variant=self.ric_variant, name="smooth1")(h))
         wh = self.param("head_kernel", nn.initializers.he_normal(),
                         (1, 1, h.shape[-1], 3))
         bh = self.param("head_bias", nn.initializers.zeros, (3,))

@@ -77,6 +77,32 @@ class TestRIC:
         out = bilinear_gather(x, jnp.asarray(base))
         np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
 
+    def test_variant_equivalence_values_and_grads(self, rng):
+        """fused (train-optimal) and pershift (inference-optimal) RICConv
+        schedules are the same operator: same params, same output, same
+        gradients (exact at precision=highest; the default-precision delta
+        is bf16 matmul-input rounding common to both)."""
+        from drawingspinup_tpu.models.generator_j import RICConv
+        x = jnp.asarray(rng.standard_normal((2, 12, 12, 5)).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal((2, 12, 12, 7)).astype(np.float32))
+        mods = {v: RICConv(features=7, variant=v)
+                for v in ("fused", "pershift")}
+        params = mods["fused"].init(jax.random.PRNGKey(0), x)
+        outs, grads = {}, {}
+        with jax.default_matmul_precision("highest"):
+            for v, m in mods.items():
+                outs[v] = m.apply(params, x)
+                grads[v] = jax.grad(
+                    lambda p, xx: jnp.sum(m.apply(p, xx) * g),
+                    argnums=(0, 1))(params, x)
+        np.testing.assert_allclose(np.asarray(outs["fused"]),
+                                   np.asarray(outs["pershift"]),
+                                   rtol=1e-5, atol=1e-5)
+        for (a, b) in zip(jax.tree.leaves(grads["fused"]),
+                          jax.tree.leaves(grads["pershift"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
 
 def make_synthetic_keyframe(tmp_path, size=64):
     """Rendered rest-pose pair: color/pos/edge passes + a 'drawing'."""
