@@ -41,6 +41,14 @@ class HashGridConfig:
     start_level: int = 4
     start_step: int = 0
     update_steps: int = 1000
+    # dense levels: gather/scatter ONE (8F)-wide "cell row" per point
+    # instead of 8 F-wide corner rows. The widened table is rebuilt
+    # in-graph from the canonical (T, F) param each step (cheap dense
+    # rolls), so checkpoints/ports are unaffected and autodiff folds the
+    # widened cotangent back automatically. Math identical; on v5e the
+    # per-corner scatters were 172 ms of a 440 ms step (8 scatter ops ×
+    # 6 levels, cost per-index) — see PERF_NOTES.md.
+    dense_cell_rows: bool = True
     # table storage dtype: float32 | bfloat16. bfloat16 halves HBM and
     # scatter byte traffic (tcnn stores fp16; bf16 is the TPU analog —
     # no loss scaling needed). Interpolation math always runs f32.
@@ -128,41 +136,77 @@ def encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig,
     return out
 
 
+def _widen_dense(tab: jnp.ndarray, n_vert: int) -> jnp.ndarray:
+    """(T, F) dense table → (T, 8F) cell rows: row i holds the features of
+    the 8 cell corners i + {0,1} + n·{0,1} + n²·{0,1} (x-fastest layout).
+    Built from cheap dense rolls each step; rolled-in wrap rows are never
+    read (callers clip the base corner to ≤ r−1 per axis)."""
+    cols = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                off = dx + n_vert * dy + n_vert * n_vert * dz
+                cols.append(jnp.roll(tab, -off, axis=0) if off else tab)
+    return jnp.concatenate(cols, axis=1)
+
+
 def _level_interp(tab, px, py, pz, r, cfg, with_grad):
-    """One level: 8 corner row-gathers from the per-level (T_l, F) table.
+    """One level: 8 corner row-gathers from the per-level (T_l, F) table —
+    or, for dense levels with cfg.dense_cell_rows, ONE (8F)-wide cell-row
+    gather per point (8× fewer gather AND scatter indices; the dominant
+    cost is per-index, PERF_NOTES.md).
     Returns [acc_f...] or ([acc_f...], [dax_f...], [day_f...], [daz_f...])."""
     F = cfg.n_features_per_level
     T = cfg.table_size
     r_f = float(r)
     fx, fy, fz = px * r_f, py * r_f, pz * r_f
     x0f, y0f, z0f = jnp.floor(fx), jnp.floor(fy), jnp.floor(fz)
-    wx, wy, wz = fx - x0f, fy - y0f, fz - z0f
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
     z0 = z0f.astype(jnp.int32)
     n_vert = r + 1
     dense = (n_vert ** 3) <= T
+    wide = dense and cfg.dense_cell_rows
+    if wide:
+        # clip the BASE corner to r−1 and recompute weights from it: for
+        # px=1 exactly this yields w=1 on the far corner — identical to
+        # per-corner clipping (for px<1 the clip is a no-op).
+        x0 = jnp.clip(x0, 0, r - 1)
+        y0 = jnp.clip(y0, 0, r - 1)
+        z0 = jnp.clip(z0, 0, r - 1)
+        wx = fx - x0.astype(jnp.float32)
+        wy = fy - y0.astype(jnp.float32)
+        wz = fz - z0.astype(jnp.float32)
+        idx0 = x0 + n_vert * (y0 + n_vert * z0)
+        rows = _widen_dense(tab, n_vert)[idx0].astype(jnp.float32)  # (P, 8F)
+    else:
+        wx, wy, wz = fx - x0f, fy - y0f, fz - z0f
     acc = [jnp.zeros_like(px) for _ in range(F)]
     dax = [jnp.zeros_like(px) for _ in range(F)]
     day = [jnp.zeros_like(px) for _ in range(F)]
     daz = [jnp.zeros_like(px) for _ in range(F)]
-    for dx in (0, 1):
+    corner = 0
+    for dz in (0, 1):
         for dy in (0, 1):
-            for dz in (0, 1):
-                cx = jnp.clip(x0 + dx, 0, r).astype(jnp.uint32)
-                cy = jnp.clip(y0 + dy, 0, r).astype(jnp.uint32)
-                cz = jnp.clip(z0 + dz, 0, r).astype(jnp.uint32)
-                if dense:
-                    idx = cx + np.uint32(n_vert) * (cy + np.uint32(n_vert) * cz)
+            for dx in (0, 1):
+                if wide:
+                    pair = rows[:, corner * F:(corner + 1) * F]
                 else:
-                    idx = (cx * np.uint32(_PRIMES[0])) \
-                        ^ (cy * np.uint32(_PRIMES[1])) \
-                        ^ (cz * np.uint32(_PRIMES[2]))
-                    idx = idx & np.uint32(T - 1)
-                # row gather; f32 math regardless of storage dtype — for a
-                # bf16 table the cast's VJP re-quantizes the cotangent so
-                # the backward scatter-add moves half the bytes
-                pair = tab[idx.astype(jnp.int32)].astype(jnp.float32)
+                    cx = jnp.clip(x0 + dx, 0, r).astype(jnp.uint32)
+                    cy = jnp.clip(y0 + dy, 0, r).astype(jnp.uint32)
+                    cz = jnp.clip(z0 + dz, 0, r).astype(jnp.uint32)
+                    if dense:
+                        idx = cx + np.uint32(n_vert) * (
+                            cy + np.uint32(n_vert) * cz)
+                    else:
+                        idx = (cx * np.uint32(_PRIMES[0])) \
+                            ^ (cy * np.uint32(_PRIMES[1])) \
+                            ^ (cz * np.uint32(_PRIMES[2]))
+                        idx = idx & np.uint32(T - 1)
+                    # row gather; f32 math regardless of storage dtype — for
+                    # a bf16 table the cast's VJP re-quantizes the cotangent
+                    # so the backward scatter-add moves half the bytes
+                    pair = tab[idx.astype(jnp.int32)].astype(jnp.float32)
                 ux = wx if dx else 1.0 - wx
                 uy = wy if dy else 1.0 - wy
                 uz = wz if dz else 1.0 - wz
@@ -179,6 +223,7 @@ def _level_interp(tab, px, py, pz, r, cfg, with_grad):
                         dax[f] = dax[f] + g * gx
                         day[f] = day[f] + g * gy
                         daz[f] = daz[f] + g * gz
+                corner += 1
     if with_grad:
         return acc, dax, day, daz
     return acc

@@ -194,16 +194,34 @@ def render_rays(cfg: NSRConfig, params, rays_o: jnp.ndarray,
     pos = rays_o[:, None, :] + rays_d[:, None, :] * t_all[..., None]
 
     # ---- full eval with gradients ----
+    # The sparsity/smoothness probe points are FOLDED into this eval:
+    # separate 2×n_random_pts field calls measured ~110 ms/step (23%) on
+    # v5e — thousands-of-points launches are launch-bound, while appending
+    # them to the 262k-sample eval costs +1.6% (profile_nsr_parts.py).
+    n_main = pos.shape[0] * pos.shape[1]
+    if train:
+        k_r1, k_r2 = jax.random.split(rkeys[2])
+        probe_pts = jax.random.uniform(k_r1, (cfg.n_random_pts, 3),
+                                       minval=-1.0, maxval=1.0)
+        probe_perturbed = probe_pts + jax.random.normal(
+            k_r2, probe_pts.shape) * 1e-2
+        eval_pts = jnp.concatenate([pos.reshape(-1, 3), probe_pts,
+                                    probe_perturbed], axis=0)
+    else:
+        eval_pts = pos.reshape(-1, 3)
     if cfg.grad_type == "finite_difference":
         field = partial(sdf_with_grad, cfg.sdf, params["geometry"],
                         eps=fd_eps, level_mask=level_mask, n_active=n_active)
-        sdf, grad, feature = jax.checkpoint(
-            lambda pts: field(pts))(pos.reshape(-1, 3))
+        sdf_all, grad_all, feat_all = jax.checkpoint(
+            lambda pts: field(pts))(eval_pts)
     else:
         field = partial(fields.sdf_with_grad_analytic, cfg.sdf,
                         params["geometry"], level_mask=level_mask,
                         n_active=n_active)
-        sdf, grad, feature = field(pos.reshape(-1, 3))
+        sdf_all, grad_all, feat_all = field(eval_pts)
+    sdf = sdf_all[:n_main]
+    grad = grad_all[:n_main]
+    feature = feat_all[:n_main]
     S = cfg.n_samples
     sdf = sdf.reshape(-1, S)
     grad_flat = grad
@@ -238,14 +256,12 @@ def render_rays(cfg: NSRConfig, params, rays_o: jnp.ndarray,
             "sdf_grad_samples": grad_flat,
             "weights": comp["weights"].reshape(-1),
         })
-        # random-point probes for sparsity + 3D normal smoothness
-        k_r1, k_r2 = jax.random.split(rkeys[2])
-        pts = jax.random.uniform(k_r1, (cfg.n_random_pts, 3),
-                                 minval=-1.0, maxval=1.0)
-        r_sdf, r_grad, _ = field(pts)
-        _, p_grad, _ = field(pts + jax.random.normal(k_r2, pts.shape) * 1e-2)
-        out.update({"random_sdf": r_sdf, "random_sdf_grad": r_grad,
-                    "normal_perturb": p_grad})
+        # random-point probes for sparsity + 3D normal smoothness (rows
+        # appended to the main eval above)
+        n_r = cfg.n_random_pts
+        out.update({"random_sdf": sdf_all[n_main:n_main + n_r],
+                    "random_sdf_grad": grad_all[n_main:n_main + n_r],
+                    "normal_perturb": grad_all[n_main + n_r:]})
     return out
 
 

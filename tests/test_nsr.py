@@ -95,6 +95,32 @@ class TestHashGrid:
                 np.testing.assert_allclose(np.asarray(gm), np.asarray(gg),
                                            atol=1e-7)
 
+    def test_dense_cell_rows_equivalence(self, rng):
+        """Widened (8F)-cell-row dense path == per-corner path: encode is
+        bit-equal, interior spatial jacobian bit-equal, f32 table grads
+        equal to roundoff. (At coordinates exactly 1.0 the wide path keeps
+        the correct one-sided slope where the narrow one degenerates — a
+        measure-zero difference, excluded here.)"""
+        from drawingspinup_tpu.models.hashgrid import encode_with_spatial_grad
+        cfg_w = dataclasses.replace(TINY_GRID, dense_cell_rows=True)
+        cfg_n = dataclasses.replace(TINY_GRID, dense_cell_rows=False)
+        tab = init_table(cfg_w, jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.random((257, 3)) * 0.999, jnp.float32)
+        np.testing.assert_array_equal(np.asarray(encode(tab, x, cfg_w)),
+                                      np.asarray(encode(tab, x, cfg_n)))
+        ea, da = encode_with_spatial_grad(tab, x, cfg_w)
+        eb, db = encode_with_spatial_grad(tab, x, cfg_n)
+        np.testing.assert_array_equal(np.asarray(ea), np.asarray(eb))
+        np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+
+        def loss(t, c):
+            return (encode(t, x, c) ** 2).sum()
+
+        ga, gb = jax.grad(loss)(tab, cfg_w), jax.grad(loss)(tab, cfg_n)
+        for p, q in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                       atol=1e-6)
+
     def test_grad_matches_autodiff_dense_region(self, rng):
         """FD gradient ≈ autodiff gradient for smooth (dense-grid) encoding."""
         cfg = SDFFieldConfig(grid=TINY_GRID)
