@@ -49,6 +49,14 @@ class HashGridConfig:
     # per-corner scatters were 172 ms of a 440 ms step (8 scatter ops ×
     # 6 levels, cost per-index) — see PERF_NOTES.md.
     dense_cell_rows: bool = True
+    # Levels whose full grid fits in this many rows store DENSE even when
+    # that exceeds table_size (tcnn would hash them): a dense level costs
+    # ONE wide gather per point instead of 8 hashed row-gathers (gather
+    # cost is per-index, PERF_NOTES.md §8) and has no collisions. At the
+    # production yaml sets 1<<22, turning levels 4–5 (res 97/128 →
+    # 0.9M/2.1M rows, 3.8/8.6 MB bf16) dense; levels ≥ res 160 still hash.
+    # 0 (default) = the exact tcnn layout (dense only when fits table_size).
+    dense_max_rows: int = 0
     # table storage dtype: float32 | bfloat16. bfloat16 halves HBM and
     # scatter byte traffic (tcnn stores fp16; bf16 is the TPU analog —
     # no loss scaling needed). Interpolation math always runs f32.
@@ -57,6 +65,10 @@ class HashGridConfig:
     @property
     def table_size(self) -> int:
         return 1 << self.log2_hashmap_size
+
+    def is_dense(self, r: int) -> bool:
+        return (int(r) + 1) ** 3 <= max(self.table_size,
+                                        self.dense_max_rows)
 
     @property
     def n_output_dims(self) -> int:
@@ -82,7 +94,7 @@ def init_table(cfg: HashGridConfig, key: jax.Array):
     tables = []
     dt = jnp.dtype(cfg.table_dtype)
     for l, r in enumerate(cfg.level_resolutions()):
-        t_l = min(int(r + 1) ** 3, cfg.table_size)
+        t_l = int(r + 1) ** 3 if cfg.is_dense(r) else cfg.table_size
         key, k = jax.random.split(key)
         tables.append(jax.random.uniform(
             k, (t_l, cfg.n_features_per_level), jnp.float32,
@@ -165,7 +177,7 @@ def _level_interp(tab, px, py, pz, r, cfg, with_grad):
     y0 = y0f.astype(jnp.int32)
     z0 = z0f.astype(jnp.int32)
     n_vert = r + 1
-    dense = (n_vert ** 3) <= T
+    dense = cfg.is_dense(r)
     wide = dense and cfg.dense_cell_rows
     if wide:
         # clip the BASE corner to r−1 and recompute weights from it: for

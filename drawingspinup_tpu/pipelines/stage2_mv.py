@@ -140,31 +140,49 @@ class MVPipeline:
         vae = AutoencoderKL()
         clip = CLIPVisionModelWithProjection(cfg.clip_config())
         nv2 = cfg.num_views * 2
+        # init MUST be jitted: flax runs the init forward pass eagerly, and
+        # an SD-scale UNet dispatched op-by-op through the axon tunnel
+        # measured ~17 min (483 s dispatch + 522 s device). Jitted it is one
+        # persistently-cached compile + a sub-second device program.
         params = {
-            "unet": unet.init(
-                k1, jnp.zeros((nv2, latent, latent, cfg.unet.in_channels)),
+            "unet": jax.jit(lambda k: unet.init(
+                k, jnp.zeros((nv2, latent, latent, cfg.unet.in_channels)),
                 jnp.zeros((nv2,), jnp.int32),
                 jnp.zeros((nv2, 1, cfg.unet.cross_attention_dim)),
                 jnp.zeros((nv2,
                            cfg.unet.projection_class_embeddings_input_dim)),
-            )["params"],
-            "vae": vae.init(k2, jnp.zeros((1, cfg.image_size, cfg.image_size,
-                                           3)))["params"],
-            "clip": clip.init(k3, jnp.zeros(
+            ))(k1)["params"],
+            "vae": jax.jit(lambda k: vae.init(
+                k, jnp.zeros((1, cfg.image_size, cfg.image_size,
+                              3))))(k2)["params"],
+            "clip": jax.jit(lambda k: clip.init(k, jnp.zeros(
                 (1, cfg.clip_config().image_size,
-                 cfg.clip_config().image_size, 3)))["params"],
+                 cfg.clip_config().image_size, 3))))(k3)["params"],
         }
         return MVPipeline(cfg, params)
 
     # -- conditioning -------------------------------------------------------
     def encode_image(self, image: np.ndarray):
         """image (H, W, 3) [0,1] on white → (clip tokens (1,1,768),
-        cond latents (1, h, w, 4))."""
+        cond latents (1, h, w, 4)). Jitted with params as arguments (eager
+        CLIP+VAE measured ~6 s/uid through the tunnel; closures would bake
+        params as constants — see sample_loop note)."""
+        if not hasattr(self, "_enc_jit"):
+            clip_size = self.cfg.clip_config().image_size
+
+            @jax.jit
+            def _enc(clip_params, vae_params, x):
+                clip_in = clip_preprocess(x, clip_size)
+                embeds = self.clip.apply({"params": clip_params}, clip_in)
+                latents = self.vae.apply({"params": vae_params},
+                                         x * 2.0 - 1.0,
+                                         method=AutoencoderKL.encode_mode)
+                return embeds, latents
+
+            self._enc_jit = _enc
         x = jnp.asarray(image)[None]
-        clip_in = clip_preprocess(x, self.cfg.clip_config().image_size)
-        embeds = self.clip.apply({"params": self.params["clip"]}, clip_in)
-        latents = self.vae.apply({"params": self.params["vae"]},
-                                 x * 2.0 - 1.0, method=AutoencoderKL.encode_mode)
+        embeds, latents = self._enc_jit(self.params["clip"],
+                                        self.params["vae"], x)
         return embeds[:, None, :], latents
 
     # -- sampling -----------------------------------------------------------
@@ -201,32 +219,44 @@ class MVPipeline:
         cam_c = cam.astype(cdt)
         cond_c = cond_latents.astype(cdt)
 
-        @jax.jit
-        def sample_loop(latents, key):
-            def body(i, carry):
-                lat, key = carry
-                key, kn = jax.random.split(key)
-                t = ts[i]
-                inp = jnp.concatenate([lat.astype(cdt), cond_c], axis=-1)
-                eps = unet.apply({"params": params}, inp,
-                                 t, embeds_c, cam_c).astype(jnp.float32)
-                noise = jax.random.normal(kn, lat.shape)
-                lat = D.ddim_step(cfg.ddim, acp, eps, t, ts_prev[i], lat,
-                                  eta=eta, noise=noise)
-                return (lat, key)
+        # Params and conditioning MUST be jit ARGUMENTS, not closures: a
+        # closed-over device array is lowered as an MLIR constant, which
+        # fetches its VALUE host-side — for an SD-scale param tree that is
+        # a ~GB D2H pull through the axon tunnel per compile (observed as a
+        # multi-hour "hang" in cli/mv.py at production size). The jitted
+        # fns are cached on the instance so repeat calls skip re-lowering
+        # (ts/acp are tiny cfg-derived constants — safe to close over).
+        if not hasattr(self, "_sample_jit"):
+            @jax.jit
+            def sample_loop(params, cond_c, embeds_c, cam_c, latents, key):
+                def body(i, carry):
+                    lat, key = carry
+                    key, kn = jax.random.split(key)
+                    t = ts[i]
+                    inp = jnp.concatenate([lat.astype(cdt), cond_c], axis=-1)
+                    eps = unet.apply({"params": params}, inp,
+                                     t, embeds_c, cam_c).astype(jnp.float32)
+                    noise = jax.random.normal(kn, lat.shape)
+                    lat = D.ddim_step(cfg.ddim, acp, eps, t, ts_prev[i], lat,
+                                      eta=eta, noise=noise)
+                    return (lat, key)
 
-            latents, _ = jax.lax.fori_loop(0, len(ts), body, (latents, key))
-            return latents
+                latents, _ = jax.lax.fori_loop(0, len(ts), body,
+                                               (latents, key))
+                return latents
 
-        latents = sample_loop(latents, key)
+            @jax.jit
+            def decode(vae_params, z):
+                img = self.vae.apply({"params": vae_params}, z,
+                                     method=AutoencoderKL.decode)
+                return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
 
-        @jax.jit
-        def decode(z):
-            img = self.vae.apply({"params": self.params["vae"]}, z,
-                                 method=AutoencoderKL.decode)
-            return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+            self._sample_jit = sample_loop
+            self._decode_jit = decode
 
-        images = np.asarray(decode(latents))
+        latents = self._sample_jit(params, cond_c, embeds_c, cam_c,
+                                   latents, key)
+        images = np.asarray(self._decode_jit(self.params["vae"], latents))
         return images[:nv], images[nv:]
 
 

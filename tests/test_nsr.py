@@ -121,6 +121,31 @@ class TestHashGrid:
             np.testing.assert_allclose(np.asarray(p), np.asarray(q),
                                        atol=1e-6)
 
+    def test_dense_max_rows_extends_dense_levels(self, rng):
+        """dense_max_rows lets levels larger than table_size store dense:
+        tables size to (r+1)³, encoding stays continuous, and the value is
+        interpolation-exact at grid corners (no hash collisions)."""
+        cfg = dataclasses.replace(TINY_GRID, log2_hashmap_size=9,
+                                  dense_max_rows=1 << 22)
+        res = cfg.level_resolutions()           # 4, 6, 9, 13
+        assert (int(res[-1]) + 1) ** 3 > cfg.table_size  # would hash in tcnn
+        tab = init_table(cfg, jax.random.PRNGKey(0))
+        assert tab[-1].shape[0] == (int(res[-1]) + 1) ** 3
+        # corner exactness on the finest level: encode at a lattice point
+        # returns that corner's stored feature
+        r = int(res[-1])
+        corner = np.array([[2 / r, 3 / r, 5 / r]], np.float32)
+        out = encode(tab, jnp.asarray(corner), cfg)
+        idx = 2 + (r + 1) * (3 + (r + 1) * 5)
+        np.testing.assert_allclose(
+            np.asarray(out[0, 3 + 3 * cfg.n_features_per_level:
+                           3 + 4 * cfg.n_features_per_level]),
+            np.asarray(tab[-1][idx]), atol=1e-7)
+        # tcnn layout (dense_max_rows=0) hashes that level instead
+        cfg0 = dataclasses.replace(cfg, dense_max_rows=0)
+        tab0 = init_table(cfg0, jax.random.PRNGKey(0))
+        assert tab0[-1].shape[0] == cfg.table_size
+
     def test_grad_matches_autodiff_dense_region(self, rng):
         """FD gradient ≈ autodiff gradient for smooth (dense-grid) encoding."""
         cfg = SDFFieldConfig(grid=TINY_GRID)
