@@ -24,7 +24,7 @@ DEFAULT_CFG = os.path.join(os.path.dirname(__file__), "..", "configs",
                            "lama-fourier.yaml")
 
 
-def load_variables(cfg: Config, model, sample_shape=(1, 512, 512, 4)):
+def load_variables(cfg: Config, model, sample_shape=(1, 64, 64, 4)):
     """Load generator weights: orbax dir, torch .ckpt/.pth (converted), or
     random init when no checkpoint is configured (smoke/test mode)."""
     pre = cfg.get("pretrained", Config())
@@ -32,7 +32,12 @@ def load_variables(cfg: Config, model, sample_shape=(1, 512, 512, 4)):
     gen_ck = pre.get("generator_checkpoint")
     full = os.path.join(path, gen_ck) if path and gen_ck else (path or None)
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
-    init_vars = model.init(rng, np.zeros(sample_shape, np.float32))
+    # jitted init at a SMALL spatial size: the generator is fully
+    # convolutional, so param shapes are independent of H/W. Eager init
+    # dispatches the whole forward op-by-op through the device tunnel
+    # (~8 min at 512²); jitted-at-512² compiles for ~16 min; jitted at 64²
+    # is seconds and yields the identical param tree.
+    init_vars = jax.jit(model.init)(rng, np.zeros(sample_shape, np.float32))
     if full and os.path.isdir(full):  # orbax checkpoint
         return ckpt.restore(full, init_vars)
     if full and os.path.isfile(full):  # torch state_dict

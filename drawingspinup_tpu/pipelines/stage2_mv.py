@@ -152,9 +152,12 @@ class MVPipeline:
                 jnp.zeros((nv2,
                            cfg.unet.projection_class_embeddings_input_dim)),
             ))(k1)["params"],
+            # VAE is fully convolutional → init at a small spatial size
+            # (identical param tree, much smaller init compile); CLIP must
+            # init at its real size (ViT position embeddings).
             "vae": jax.jit(lambda k: vae.init(
-                k, jnp.zeros((1, cfg.image_size, cfg.image_size,
-                              3))))(k2)["params"],
+                k, jnp.zeros((1, min(cfg.image_size, 64),
+                              min(cfg.image_size, 64), 3))))(k2)["params"],
             "clip": jax.jit(lambda k: clip.init(k, jnp.zeros(
                 (1, cfg.clip_config().image_size,
                  cfg.clip_config().image_size, 3))))(k3)["params"],
@@ -285,7 +288,7 @@ def _isnet_variables():
             import torch
             sd = torch.load(path, map_location="cpu")
             state = {k: v.numpy() for k, v in sd.items()}
-        variables = ISNetDIS().init(
+        variables = _jax.jit(ISNetDIS().init)(
             _jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
         _ISNET_CACHE["vars"] = port_isnet_torch_state(state, variables)
     return _ISNET_CACHE["vars"]

@@ -91,11 +91,13 @@ def init_state(cfg: GANConfig, key: jax.Array) -> GANState:
     k1, k2, k3 = jax.random.split(key, 3)
     p = cfg.patch_size
     x = jnp.zeros((1, p, p, cfg.input_channels), jnp.float32)
-    g_vars = gen.init(k1, x, train=True)
-    d_vars = disc.init(k2, jnp.zeros((1, p, p, 3), jnp.float32))
+    # jitted inits (eager flax init dispatches op-by-op through the device
+    # tunnel — seconds of per-uid overhead across a 120-uid sweep)
+    g_vars = jax.jit(partial(gen.init, train=True))(k1, x)
+    d_vars = jax.jit(disc.init)(k2, jnp.zeros((1, p, p, 3), jnp.float32))
     # fixed-seed VGG init → deterministic random-feature perceptual metric
-    vgg_vars = vgg.init(jax.random.PRNGKey(12345),
-                        jnp.zeros((1, p, p, 3), jnp.float32))
+    vgg_vars = jax.jit(vgg.init)(jax.random.PRNGKey(12345),
+                                 jnp.zeros((1, p, p, 3), jnp.float32))
     g_tx, d_tx = make_optimizers(cfg)
     return GANState(
         g_params=g_vars["params"], g_stats=g_vars.get("batch_stats", {}),

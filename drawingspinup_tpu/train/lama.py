@@ -61,9 +61,15 @@ def init_state(cfg: LamaTrainConfig, key: jax.Array,
                size: int = 512) -> LamaState:
     gen, disc = build_models(cfg)
     k1, k2 = jax.random.split(key)
-    x = jnp.zeros((1, size, size, 4), jnp.float32)
-    g_vars = gen.init(k1, x, train=True)
-    d_vars = disc.init(k2, jnp.zeros((1, size, size, 1), jnp.float32))
+    # jitted inits at a small spatial size (both nets are fully
+    # convolutional — param shapes don't depend on H/W; eager init at 512²
+    # runs op-by-op through the device tunnel for minutes, and jitting the
+    # full-res init graph compiles even longer)
+    init_hw = min(size, 64)
+    x = jnp.zeros((1, init_hw, init_hw, 4), jnp.float32)
+    g_vars = jax.jit(partial(gen.init, train=True))(k1, x)
+    d_vars = jax.jit(disc.init)(
+        k2, jnp.zeros((1, init_hw, init_hw, 1), jnp.float32))
     g_tx, d_tx = optax.adam(cfg.lr), optax.adam(cfg.disc_lr)
     return LamaState(g_vars["params"], g_vars.get("batch_stats", {}),
                      d_vars["params"], g_tx.init(g_vars["params"]),

@@ -52,8 +52,8 @@ def ssim(a: np.ndarray, b: np.ndarray, max_val: float = 1.0,
 def _vgg():
     from drawingspinup_tpu.models.generator_j import PerceptualVGG19
     model = PerceptualVGG19()
-    params = model.init(jax.random.PRNGKey(12345),
-                        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(12345),
+                                 jnp.zeros((1, 64, 64, 3), jnp.float32))
     return model, params
 
 
