@@ -109,28 +109,49 @@ def load_front_mask(paths: UidPaths) -> Optional[np.ndarray]:
 def eval_sdf_grid(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
                   vmax: np.ndarray, resolution: int,
                   chunk: int = 262144, step: int = 10 ** 9) -> np.ndarray:
-    """SDF on a res³ grid spanning [vmin, vmax], evaluated on device in
-    chunks. Returns (res, res, res) float32, meshgrid 'ij' (x, y, z)."""
-    lin = [np.linspace(vmin[k], vmax[k], resolution, dtype=np.float32)
-           for k in range(3)]
+    """SDF on a res³ grid spanning [vmin, vmax], evaluated ENTIRELY on
+    device (coords generated in-graph, one lax.map slab per x-plane, one
+    bf16 D2H of the full grid). Returns (res, res, res) float32, meshgrid
+    'ij' (x, y, z).
+
+    The earlier host-chunked loop made res³/chunk (512 at mc512) sequential
+    H2D→eval→D2H round trips through the device tunnel — ~6 min of the
+    export. This form runs 8 device programs (lax.map over x-planes inside
+    each) with a ~34 MB bf16 D2H per program at the measured ~65 MB/s
+    (PERF_NOTES.md). A single 512-plane program crashed the remote worker
+    (watchdog), hence the 8-way split."""
+    R = resolution
     level_mask = progressive_mask(cfg.sdf.grid, jnp.asarray(step))
+    # statically elide never-unlocked hash levels (same trick as the train
+    # step): with the reference schedule levels 7-9 are never activated,
+    # and gather cost is per-index — they were ~45% of the export grid's
+    # index traffic when gathered-then-masked
+    n_active = min(cfg.sdf.grid.current_level(step), cfg.sdf.grid.n_levels)
+    n_parts = 8 if R % 8 == 0 else 1
 
     @jax.jit
-    def _eval(pts):
-        sdf, _ = sdf_forward(cfg.sdf, params["geometry"], pts, level_mask)
-        return sdf
+    def _grid(params, level_mask, xs_part, vmin, vmax):
+        lin1 = jnp.linspace(vmin[1], vmax[1], R)
+        lin2 = jnp.linspace(vmin[2], vmax[2], R)
+        ys, zs = jnp.meshgrid(lin1, lin2, indexing="ij")
 
-    xs, ys, zs = np.meshgrid(*lin, indexing="ij")
-    pts = np.stack([xs, ys, zs], axis=-1).reshape(-1, 3)
-    out = np.empty((pts.shape[0],), np.float32)
-    for i in range(0, len(pts), chunk):
-        seg = pts[i:i + chunk]
-        pad = chunk - len(seg)
-        if pad:
-            seg = np.concatenate([seg, np.zeros((pad, 3), np.float32)])
-        out[i:i + chunk] = np.asarray(_eval(jnp.asarray(seg)))[: chunk - pad] \
-            if pad else np.asarray(_eval(jnp.asarray(seg)))
-    return out.reshape(resolution, resolution, resolution)
+        def slab(x):
+            pts = jnp.stack([jnp.full_like(ys, x), ys, zs],
+                            axis=-1).reshape(-1, 3)
+            sdf, _ = sdf_forward(cfg.sdf, params["geometry"], pts,
+                                 level_mask, n_active=n_active)
+            return sdf.astype(jnp.bfloat16)
+
+        return jax.lax.map(slab, xs_part)
+
+    xs_full = np.linspace(vmin[0], vmax[0], R, dtype=np.float32)
+    vmin_j, vmax_j = jnp.asarray(vmin), jnp.asarray(vmax)
+    parts = []
+    for xs_part in np.split(xs_full, n_parts):
+        parts.append(np.asarray(_grid(params, level_mask,
+                                      jnp.asarray(xs_part), vmin_j, vmax_j),
+                                dtype=np.float32))
+    return np.concatenate(parts, axis=0).reshape(R, R, R)
 
 
 def isosurface(cfg: nsr.NSRConfig, params, resolution: int = 512,
