@@ -173,11 +173,17 @@ def marching_tetrahedra(field: np.ndarray, level: float = 0.5
         & (faces[:, 0] != faces[:, 2])
     faces = faces[good]
 
-    # orient faces consistently: flip if normal disagrees with field gradient
-    grad = np.stack(np.gradient(f), axis=-1)             # (N,N,N,3)
+    # orient faces consistently: flip if normal disagrees with field
+    # gradient — central differences sampled at face centers only (a full
+    # np.gradient materializes 3×N³ floats, ~17 s of the 24 s at 512³)
     centers = verts[faces].mean(axis=1)
     ci = np.clip(np.round(centers).astype(np.int64), 0, n - 1)
-    g_at = grad[ci[:, 0], ci[:, 1], ci[:, 2]]
+    x, y, z = ci[:, 0], ci[:, 1], ci[:, 2]
+    g_at = np.stack([
+        f[np.minimum(x + 1, n - 1), y, z] - f[np.maximum(x - 1, 0), y, z],
+        f[x, np.minimum(y + 1, n - 1), z] - f[x, np.maximum(y - 1, 0), z],
+        f[x, y, np.minimum(z + 1, n - 1)] - f[x, y, np.maximum(z - 1, 0)],
+    ], axis=-1)
     e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
     e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
     fn = np.cross(e1, e2)
