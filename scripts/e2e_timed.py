@@ -11,9 +11,12 @@ Notes:
   * budgets: recon 3000 steps / mc512 / 50k faces; style stage1 3 epochs +
     stage2 2 epochs at batch 40x32^2 (epoch = n_valid_pixels/40).
   * wall-clock includes any XLA compiles not already in the persistent
-    cache (a second run shows steady state).
+    cache AND the remote service's per-process first-execution program
+    loads (PERF_NOTES.md). --marginal runs a SECOND character in the same
+    process, measuring the amortized per-character cost a sweep pays.
 
 Usage: python scripts/e2e_timed.py [--root /tmp/e2e_full] [--skip-recon]
+       [--tiny] [--marginal]
 """
 import argparse
 import json
@@ -39,8 +42,8 @@ UID = "e2e_timed"
 SIZE = 512
 
 
-def make_drawing(root):
-    paths = UidPaths(root, UID)
+def make_drawing(root, uid):
+    paths = UidPaths(root, uid)
     yy, xx = np.mgrid[0:SIZE, 0:SIZE]
     r = np.hypot(yy - SIZE / 2, xx - SIZE / 2)
     body = r < SIZE * 0.38
@@ -55,35 +58,21 @@ def make_drawing(root):
     return paths
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--root", default="/tmp/e2e_full")
-    ap.add_argument("--skip-recon", action="store_true",
-                    help="reuse an existing mesh from a previous run")
-    ap.add_argument("--tiny", action="store_true",
-                    help="smoke-test the harness with toy budgets (CPU-ok)")
-    args = ap.parse_args()
-    root = args.root
-    os.makedirs(root, exist_ok=True)
-    paths = make_drawing(root)
-    uid_file = os.path.join(root, "uids.json")
-    with open(uid_file, "w") as f:
-        json.dump([UID], f)
-
-    times = {}
+def run_character(uid, root, uid_file, times, tiny=False, skip_recon=False):
+    """Full drawing->GIF chain for one uid through the stage CLIs."""
+    paths = UidPaths(root, uid)
 
     def clock(name, fn):
         t0 = time.time()
         fn()
         times[name] = time.time() - t0
-        print(f"### {name}: {times[name]:.1f}s", flush=True)
+        print(f"### [{uid}] {name}: {times[name]:.1f}s", flush=True)
 
-    tiny = args.tiny
     mv_size = 64 if tiny else 1024
 
     # ---- stage 1: contour removal (production config) ----
     from drawingspinup_tpu.cli import predict
-    s1_args = [predict.DEFAULT_CFG, "--uid", UID, "--root", root,
+    s1_args = [predict.DEFAULT_CFG, "--uid", uid, "--root", root,
                "--batch-size", "1", "--size", str(SIZE)]
     if tiny:
         s1_args += ["generator.ngf=8", "generator.n_downsampling=2",
@@ -92,9 +81,9 @@ def main():
 
     # ---- stage 2a: 6-view x 2-domain diffusion, 75 steps, 256^2 -> 1024 ----
     from drawingspinup_tpu.cli import mv as mv_cli
-    mv_args = ["--uid", UID, "--root", root, "--steps", "75"]
+    mv_args = ["--uid", uid, "--root", root, "--steps", "75"]
     if tiny:
-        mv_args = ["--uid", UID, "--root", root, "--steps", "2",
+        mv_args = ["--uid", uid, "--root", root, "--steps", "2",
                    "--size", "64", "--out-size", "64", "--tiny"]
     clock("stage2a_mv", lambda: mv_cli.main(mv_args))
 
@@ -102,12 +91,12 @@ def main():
     # not reconstructable); same file contract at the same resolution
     from test_stage2_pipeline import write_sphere_mv
     clock("(sphere_mv_fixture)", lambda: write_sphere_mv(
-        root, UID, size=mv_size))
+        root, uid, size=mv_size))
 
     # ---- stage 2b: NSR recon, full budget ----
-    if not args.skip_recon:
+    if not skip_recon:
         from drawingspinup_tpu.cli import recon as recon_cli
-        recon_args = ["--uid", UID, "--root", root,
+        recon_args = ["--uid", uid, "--root", root,
                       f"dataset.uid_list_file={uid_file}"]
         if tiny:
             from test_stage2_pipeline import TINY_OVERRIDES
@@ -125,36 +114,74 @@ def main():
 
     from drawingspinup_tpu.cli import run_render
     clock("stage3_render_rest", lambda: run_render.main(
-        ["--uid", UID, "--data_dir", root]))
+        ["--uid", uid, "--data_dir", root]))
     clock("stage3_render_actions", lambda: run_render.main(
-        ["--uid", UID, "--data_dir", root, "--test"]))
+        ["--uid", uid, "--data_dir", root, "--test"]))
 
     # ---- stage 3: style training at reference budgets ----
     from drawingspinup_tpu.cli import train_stage1, train_stage2
     extra = ["--max-batches", "3"] if tiny else []
     clock("stage3_train1_3ep", lambda: train_stage1.main(
-        ["--uid", UID, "--root", root] + extra))
+        ["--uid", uid, "--root", root] + extra))
     clock("stage3_train2_2ep", lambda: train_stage2.main(
-        ["--uid", UID, "--root", root] + extra))
+        ["--uid", uid, "--root", root] + extra))
 
     from drawingspinup_tpu.cli import test_stage2
     clock("stage3_stylize", lambda: test_stage2.main(
-        ["--uid", UID, "--root", root]))
+        ["--uid", uid, "--root", root]))
 
     from drawingspinup_tpu.cli import gif_writer
-    clock("gif", lambda: gif_writer.main(["--uid", UID, "--root", root]))
+    clock("gif", lambda: gif_writer.main(["--uid", uid, "--root", root]))
 
     gifs = os.listdir(paths.gif_dir)
     assert gifs and os.path.getsize(os.path.join(paths.gif_dir, gifs[0]))
 
+
+def report(label, times):
     total = sum(v for k, v in times.items() if not k.startswith("("))
-    print("\n=== END-TO-END (reference budgets, single v5e chip) ===")
+    print(f"\n=== {label} (reference budgets, single v5e chip) ===")
     for k, v in times.items():
         print(f"{k:24s} {v:8.1f} s")
     print(f"{'TOTAL':24s} {total:8.1f} s  = {total/60:.1f} min/character")
-    print(json.dumps({"metric": "e2e_minutes_per_character",
-                      "value": round(total / 60, 2), "unit": "min",
-                      "stages": {k: round(v, 1) for k, v in times.items()}}))
+    return total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/e2e_full")
+    ap.add_argument("--skip-recon", action="store_true",
+                    help="reuse an existing mesh from a previous run")
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke-test the harness with toy budgets (CPU-ok)")
+    ap.add_argument("--marginal", action="store_true",
+                    help="run a second character in-process to measure the "
+                         "amortized (sweep) per-character cost")
+    args = ap.parse_args()
+    root = args.root
+    os.makedirs(root, exist_ok=True)
+    uids = [UID] + ([UID + "_2"] if args.marginal else [])
+    for uid in uids:
+        make_drawing(root, uid)
+    uid_file = os.path.join(root, "uids.json")
+    with open(uid_file, "w") as f:
+        json.dump(uids, f)
+
+    all_times = {}
+    for uid in uids:
+        all_times[uid] = {}
+        run_character(uid, root, uid_file, all_times[uid],
+                      tiny=args.tiny, skip_recon=args.skip_recon)
+
+    total = report("END-TO-END (cold)", all_times[uids[0]])
+    out = {"metric": "e2e_minutes_per_character",
+           "value": round(total / 60, 2), "unit": "min",
+           "stages": {k: round(v, 1) for k, v in all_times[uids[0]].items()}}
+    if args.marginal:
+        marg = report("MARGINAL second character", all_times[uids[1]])
+        out["marginal_minutes_per_character"] = round(marg / 60, 2)
+        out["marginal_stages"] = {k: round(v, 1)
+                                  for k, v in all_times[uids[1]].items()}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
