@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import time
+from functools import lru_cache
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -128,6 +129,22 @@ def eval_sdf_grid(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
     # index traffic when gathered-then-masked
     n_active = min(cfg.sdf.grid.current_level(step), cfg.sdf.grid.n_levels)
     n_parts = 8 if R % 8 == 0 else 1
+    _grid = _grid_eval_fn(cfg.sdf, R, n_active)
+
+    xs_full = np.linspace(vmin[0], vmax[0], R, dtype=np.float32)
+    vmin_j, vmax_j = jnp.asarray(vmin), jnp.asarray(vmax)
+    parts = []
+    for xs_part in np.split(xs_full, n_parts):
+        parts.append(np.asarray(_grid(params, level_mask,
+                                      jnp.asarray(xs_part), vmin_j, vmax_j),
+                                dtype=np.float32))
+    return np.concatenate(parts, axis=0).reshape(R, R, R)
+
+
+@lru_cache(maxsize=8)
+def _grid_eval_fn(sdf_cfg, R: int, n_active: int):
+    """Memoized jitted slab evaluator — a sweep exports once per uid and
+    re-lowering the field graph each time is pure overhead."""
 
     @jax.jit
     def _grid(params, level_mask, xs_part, vmin, vmax):
@@ -138,20 +155,13 @@ def eval_sdf_grid(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
         def slab(x):
             pts = jnp.stack([jnp.full_like(ys, x), ys, zs],
                             axis=-1).reshape(-1, 3)
-            sdf, _ = sdf_forward(cfg.sdf, params["geometry"], pts,
+            sdf, _ = sdf_forward(sdf_cfg, params["geometry"], pts,
                                  level_mask, n_active=n_active)
             return sdf.astype(jnp.bfloat16)
 
         return jax.lax.map(slab, xs_part)
 
-    xs_full = np.linspace(vmin[0], vmax[0], R, dtype=np.float32)
-    vmin_j, vmax_j = jnp.asarray(vmin), jnp.asarray(vmax)
-    parts = []
-    for xs_part in np.split(xs_full, n_parts):
-        parts.append(np.asarray(_grid(params, level_mask,
-                                      jnp.asarray(xs_part), vmin_j, vmax_j),
-                                dtype=np.float32))
-    return np.concatenate(parts, axis=0).reshape(R, R, R)
+    return _grid
 
 
 def isosurface(cfg: nsr.NSRConfig, params, resolution: int = 512,

@@ -38,6 +38,13 @@ def stage_done(paths: UidPaths, stage: str) -> bool:
     return False
 
 
+def _transient(e: Exception) -> bool:
+    """Device-loss errors worth one retry (remote worker crash/restart)."""
+    msg = str(e)
+    return any(s in msg for s in
+               ("UNAVAILABLE", "crashed or restarted", "DEADLINE_EXCEEDED"))
+
+
 def run_sweep(root: str, uid_json: str,
               stage_fns: Dict[str, Callable[[str], None]],
               shard_index: int = 0, num_shards: int = 1,
@@ -62,7 +69,19 @@ def run_sweep(root: str, uid_json: str,
                 if resume and stage_done(paths, stage):
                     continue
                 st = time.time()
-                fn(uid)
+                try:
+                    fn(uid)
+                except Exception as e:  # retry once on transient device loss
+                    # (the remote TPU worker is observed to crash/restart
+                    # under heavy D2H; recon resumes from its checkpoint)
+                    if not _transient(e):
+                        raise
+                    logger.log(uid=uid, stage=stage, retry=True,
+                               error=str(e)[:500])
+                    print(f"[sweep] {uid}/{stage} transient device error — "
+                          f"retrying once: {e}")
+                    time.sleep(10.0)
+                    fn(uid)
                 logger.log(uid=uid, stage=stage, seconds=time.time() - st)
             ok.append(uid)
             logger.log(uid=uid, stage="done", seconds=time.time() - t0)

@@ -201,6 +201,39 @@ class TestSweep:
                  open(tmp_path / "log.jsonl").read().splitlines()]
         assert any(r.get("stage") == "FAILED" for r in lines)
 
+    def test_transient_device_error_retried_once(self, tmp_path,
+                                                 monkeypatch):
+        """A stage raising an UNAVAILABLE-class error is retried once (the
+        remote TPU worker can crash/restart); persistent errors still fail
+        the uid."""
+        import drawingspinup_tpu.pipelines.sweep as sweep_mod
+        monkeypatch.setattr(sweep_mod.time, "sleep", lambda s: None)
+        uid_file = tmp_path / "uids.json"
+        uid_file.write_text(json.dumps(["a"]))
+        attempts = []
+
+        def flaky(uid):
+            attempts.append(uid)
+            if len(attempts) == 1:
+                raise RuntimeError(
+                    "UNAVAILABLE: TPU worker process crashed or restarted.")
+
+        res = sweep_mod.run_sweep(str(tmp_path), str(uid_file),
+                                  {"s": flaky},
+                                  log_path=str(tmp_path / "log.jsonl"))
+        assert res["ok"] == ["a"] and len(attempts) == 2
+
+        attempts.clear()
+
+        def always_down(uid):
+            attempts.append(uid)
+            raise RuntimeError("UNAVAILABLE: still down")
+
+        res = sweep_mod.run_sweep(str(tmp_path), str(uid_file),
+                                  {"s": always_down}, resume=False,
+                                  log_path=str(tmp_path / "log2.jsonl"))
+        assert res["failed"] == ["a"] and len(attempts) == 2
+
     def test_sharding(self, tmp_path):
         from drawingspinup_tpu.pipelines.sweep import run_sweep
         uid_file = tmp_path / "uids.json"
