@@ -86,6 +86,17 @@ def test_on_full_images(cfg: gan.GANConfig, state: gan.GANState,
     """Run the generator over every frame of every action dir, writing RGBA
     results (reference trainers.py:213-232)."""
     written = []
+    # small pending queue: dispatch frame i+k before syncing frame i, so
+    # device compute + tunnel D2H overlap host PNG decode/encode
+    pending = []
+
+    def flush_one():
+        out_path, mask, fut = pending.pop(0)
+        rgb = gan.finalize_full(fut)
+        rgba = np.concatenate([rgb, mask[..., None]], axis=-1)
+        write_image(out_path, rgba)
+        written.append(out_path)
+
     for action in actions:
         action_dir = os.path.join(render_root, action)
         src = os.path.join(action_dir, pre_dir)
@@ -99,11 +110,12 @@ def test_on_full_images(cfg: gan.GANConfig, state: gan.GANState,
             frame, mask = stage3_data.load_full_frame(
                 action_dir, fname, use_mask, use_pos, use_edge,
                 pre_dir=pre_dir)
-            rgb = gan.generate_full(cfg, state, frame)
-            rgba = np.concatenate([rgb, mask[..., None]], axis=-1)
-            out_path = os.path.join(out_dir, fname)
-            write_image(out_path, rgba)
-            written.append(out_path)
+            pending.append((os.path.join(out_dir, fname), mask,
+                            gan.generate_full_async(cfg, state, frame)))
+            if len(pending) >= 3:
+                flush_one()
+    while pending:
+        flush_one()
     return written
 
 

@@ -183,8 +183,19 @@ def generate_full(cfg: GANConfig, state: GANState,
                   frame: np.ndarray) -> np.ndarray:
     """Run the generator on a full frame (eval mode, running BN stats).
     frame: (H, W, C_in) normalized → (H, W, 3) in [0,1]."""
+    return finalize_full(generate_full_async(cfg, state, frame))
+
+
+def generate_full_async(cfg: GANConfig, state: GANState,
+                        frame: np.ndarray) -> jnp.ndarray:
+    """Dispatch a full-frame generation WITHOUT syncing — callers that
+    stylize many frames overlap device compute / tunnel D2H with host PNG
+    IO by keeping a small pending queue (pipelines/stage3_translate.py)."""
     _run = _full_frame_runner(cfg)
-    out = _run(state.g_params, state.g_stats, jnp.asarray(frame)[None])
+    return _run(state.g_params, state.g_stats, jnp.asarray(frame)[None])
+
+
+def finalize_full(out: jnp.ndarray) -> np.ndarray:
     return np.asarray((out[0] + 1.0) * 0.5).clip(0, 1)
 
 
