@@ -12,6 +12,8 @@ from __future__ import annotations
 import argparse
 import json
 
+_PIPE_CACHE: dict = {}
+
 
 def main(argv=None) -> int:
     from drawingspinup_tpu.core import jax_setup
@@ -45,11 +47,18 @@ def main(argv=None) -> int:
     cfg = mv.MVPipelineConfig(num_inference_steps=args.steps,
                               image_size=args.size, out_size=args.out_size,
                               **unet_kw)
-    if args.ckpt:
+    # cache the pipeline across main() calls: a sweep invokes this CLI
+    # per uid in one process, and re-initializing the SD-scale models
+    # costs ~20-30 s each time
+    cache_key = (args.ckpt, args.steps, args.size, args.out_size, args.tiny)
+    if _PIPE_CACHE.get("key") == cache_key:
+        pipe = _PIPE_CACHE["pipe"]
+    elif args.ckpt:
         pipe = mv.load_pretrained(cfg, args.ckpt)
     else:
         print("WARNING: no --ckpt given — running with random weights")
         pipe = mv.MVPipeline.init_random(cfg, jax.random.PRNGKey(0))
+    _PIPE_CACHE["key"], _PIPE_CACHE["pipe"] = cache_key, pipe
     written = mv.generate_uid(args.root, args.uid, pipe, seed=args.seed)
     print(json.dumps({"written": len(written)}))
     return 0

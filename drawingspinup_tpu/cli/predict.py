@@ -19,6 +19,8 @@ from drawingspinup_tpu.core import Config, load_config, load_uid_list
 from drawingspinup_tpu.core import checkpoint as ckpt
 from drawingspinup_tpu.pipelines import stage1
 
+_VAR_CACHE: dict = {}
+
 
 DEFAULT_CFG = os.path.join(os.path.dirname(__file__), "..", "configs",
                            "lama-fourier.yaml")
@@ -81,8 +83,15 @@ def main(argv=None) -> int:
         uids = [args.uid]
     else:
         uids = load_uid_list(cfg.get("uid_json"))
-    model = stage1.build_generator(cfg)
-    variables = load_variables(cfg, model)
+    # cache model+weights across main() calls (a sweep invokes this per uid
+    # in one process; init+load costs ~5 s each time)
+    cache_key = (args.config, tuple(args.overrides))
+    if _VAR_CACHE.get("key") == cache_key:
+        model, variables = _VAR_CACHE["mv"]
+    else:
+        model = stage1.build_generator(cfg)
+        variables = load_variables(cfg, model)
+        _VAR_CACHE["key"], _VAR_CACHE["mv"] = cache_key, (model, variables)
     written = stage1.predict_uids(root, uids, variables, cfg,
                                   batch_size=min(args.batch_size, len(uids)),
                                   size=args.size)
