@@ -49,47 +49,71 @@ def run_sweep(root: str, uid_json: str,
               stage_fns: Dict[str, Callable[[str], None]],
               shard_index: int = 0, num_shards: int = 1,
               resume: bool = True,
-              log_path: Optional[str] = None) -> Dict[str, List[str]]:
+              log_path: Optional[str] = None,
+              stage_major: bool = True) -> Dict[str, List[str]]:
     """Run the given per-uid stage functions over a uid shard.
 
     stage_fns: {stage_name: fn(uid)} executed in declaration order. A stage
-    failure logs the traceback and skips the remaining stages for that uid
-    (later uids continue) — no partial output is deleted.
+    failure logs the traceback and skips that uid's remaining stages
+    (other uids continue) — no partial output is deleted.
+
+    stage_major=True (default) runs ALL uids through each stage before the
+    next stage — the reference's own CLI structure, and on this backend
+    also the fast order: the remote service reloads each large executable
+    when another stage's programs displace it (~1-3 min/program,
+    PERF_NOTES.md), so uid-major interleaving pays that reload for every
+    uid while stage-major pays it once per stage.
     """
     uids = load_uid_list(uid_json)
     uids = uids[shard_index::num_shards]
     logger = MetricsLogger(log_path or os.path.join(root, "sweep_log.jsonl"))
-    ok: List[str] = []
-    failed: List[str] = []
-    for i, uid in enumerate(uids):
+    skip: Dict[str, str] = {}          # uid -> failed stage
+    t_uid = {uid: 0.0 for uid in uids}
+
+    def run_one(uid: str, stage: str, fn) -> None:
         paths = UidPaths(root, uid)
-        t0 = time.time()
+        if resume and stage_done(paths, stage):
+            return
+        st = time.time()
         try:
-            for stage, fn in stage_fns.items():
-                if resume and stage_done(paths, stage):
-                    continue
-                st = time.time()
-                try:
-                    fn(uid)
-                except Exception as e:  # retry once on transient device loss
-                    # (the remote TPU worker is observed to crash/restart
-                    # under heavy D2H; recon resumes from its checkpoint)
-                    if not _transient(e):
-                        raise
-                    logger.log(uid=uid, stage=stage, retry=True,
-                               error=str(e)[:500])
-                    print(f"[sweep] {uid}/{stage} transient device error — "
-                          f"retrying once: {e}")
-                    time.sleep(10.0)
-                    fn(uid)
-                logger.log(uid=uid, stage=stage, seconds=time.time() - st)
-            ok.append(uid)
-            logger.log(uid=uid, stage="done", seconds=time.time() - t0)
+            try:
+                fn(uid)
+            except Exception as e:  # retry once on transient device loss
+                # (the remote TPU worker is observed to crash/restart under
+                # heavy D2H; recon resumes from its checkpoint)
+                if not _transient(e):
+                    raise
+                logger.log(uid=uid, stage=stage, retry=True,
+                           error=str(e)[:500])
+                print(f"[sweep] {uid}/{stage} transient device error — "
+                      f"retrying once: {e}")
+                time.sleep(10.0)
+                fn(uid)
+            logger.log(uid=uid, stage=stage, seconds=time.time() - st)
+            t_uid[uid] += time.time() - st
         except Exception as e:
-            failed.append(uid)
+            skip[uid] = stage
             logger.log(uid=uid, stage="FAILED", error=str(e),
                        traceback=traceback.format_exc()[-2000:])
-            print(f"[sweep] {uid} FAILED: {e}")
-        print(f"[sweep {shard_index}/{num_shards}] {i + 1}/{len(uids)} done "
-              f"({len(failed)} failed)")
-    return {"ok": ok, "failed": failed}
+            print(f"[sweep] {uid} FAILED at {stage}: {e}")
+
+    if stage_major:
+        for stage, fn in stage_fns.items():
+            for uid in uids:
+                if uid not in skip:
+                    run_one(uid, stage, fn)
+            print(f"[sweep {shard_index}/{num_shards}] stage {stage} done "
+                  f"({len(skip)} failed)")
+    else:
+        for i, uid in enumerate(uids):
+            for stage, fn in stage_fns.items():
+                if uid in skip:
+                    break
+                run_one(uid, stage, fn)
+            print(f"[sweep {shard_index}/{num_shards}] {i + 1}/{len(uids)} "
+                  f"done ({len(skip)} failed)")
+
+    ok = [u for u in uids if u not in skip]
+    for uid in ok:
+        logger.log(uid=uid, stage="done", seconds=t_uid[uid])
+    return {"ok": ok, "failed": [u for u in uids if u in skip]}

@@ -201,6 +201,28 @@ class TestSweep:
                  open(tmp_path / "log.jsonl").read().splitlines()]
         assert any(r.get("stage") == "FAILED" for r in lines)
 
+    def test_stage_major_order(self, tmp_path):
+        """Default order runs every uid through a stage before the next
+        stage (keeps each stage's device programs resident); a uid that
+        fails a stage skips its later stages."""
+        from drawingspinup_tpu.pipelines.sweep import run_sweep
+        uid_file = tmp_path / "uids.json"
+        uid_file.write_text(json.dumps(["a", "b"]))
+        calls = []
+
+        def s1(uid):
+            calls.append(("s1", uid))
+            if uid == "a":
+                raise RuntimeError("boom")
+
+        def s2(uid):
+            calls.append(("s2", uid))
+
+        res = run_sweep(str(tmp_path), str(uid_file), {"s1": s1, "s2": s2},
+                        log_path=str(tmp_path / "log.jsonl"))
+        assert calls == [("s1", "a"), ("s1", "b"), ("s2", "b")]
+        assert res["ok"] == ["b"] and res["failed"] == ["a"]
+
     def test_transient_device_error_retried_once(self, tmp_path,
                                                  monkeypatch):
         """A stage raising an UNAVAILABLE-class error is retried once (the
