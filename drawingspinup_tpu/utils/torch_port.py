@@ -115,6 +115,134 @@ def convert_ffc_generator(state_dict: Mapping[str, Any],
     return {"params": params, "batch_stats": stats}
 
 
+def _bn_at(flax_bn_path: Tuple[str, ...], torch_prefix: str):
+    """BN entries with an explicit flax path (used when the BatchNorm is a
+    named top-level module rather than ConvBlock's inline BatchNorm_0)."""
+    yield torch_prefix + ".weight", flax_bn_path + ("scale",), None, np.asarray
+    yield torch_prefix + ".bias", flax_bn_path + ("bias",), None, np.asarray
+    yield torch_prefix + ".running_mean", None, flax_bn_path + ("mean",), np.asarray
+    yield torch_prefix + ".running_var", None, flax_bn_path + ("var",), np.asarray
+
+
+def generator_j_key_map(resnet_blocks: int = 7, use_bias: bool = False,
+                        tanh: bool = True, append_smoothers: bool = True,
+                        norm: str = "batch_norm"):
+    """(torch key → flax path) map for the reference GeneratorJ
+    (3_style_translator/training/models.py:24-192) onto models/generator_j.py.
+
+    torch module names: conv{0,1,2}.{conv,normalization}, resnets.{i}.{conv_0,
+    normalization,conv_1}, upconv{2,1} Sequential [upsample, conv, norm, act],
+    conv_11 Sequential [conv, relu], conv_11_a Sequential [conv, relu, bn,
+    conv, relu], conv_12 (Sequential [conv, tanh] iff tanh else conv).
+    """
+    entries = []
+
+    def conv(tp: str, fp: Tuple[str, ...], bias: bool) -> None:
+        entries.append((tp + ".weight", fp + ("kernel",), None, _conv_w))
+        if bias:
+            entries.append((tp + ".bias", fp + ("bias",), None, np.asarray))
+
+    has_norm = norm == "batch_norm"
+    for name in ("conv0", "conv1", "conv2"):
+        conv(f"{name}.conv", (name,), use_bias)
+        if has_norm:
+            entries.extend(_bn_entries((name,), f"{name}.normalization"))
+    for i in range(resnet_blocks):
+        conv(f"resnets.{i}.conv_0", (f"res{i}_conv0",), use_bias)
+        if has_norm:
+            entries.extend(_bn_entries((f"res{i}_conv0",),
+                                       f"resnets.{i}.normalization"))
+        conv(f"resnets.{i}.conv_1", (f"res{i}_conv1",), use_bias)
+    for name in ("upconv2", "upconv1"):
+        conv(f"{name}.1", (name,), False)
+        if has_norm:
+            entries.extend(_bn_entries((name,), f"{name}.2"))
+    conv("conv_11.0", ("conv_11",), use_bias)
+    if append_smoothers:
+        conv("conv_11_a.0", ("smooth0",), use_bias)
+        entries.extend(_bn_at(("smooth_bn",), "conv_11_a.2"))
+        conv("conv_11_a.3", ("smooth1",), use_bias)
+    head = "conv_12.0" if tanh else "conv_12"
+    entries.append((head + ".weight", ("head_kernel",), None, _conv_w))
+    entries.append((head + ".bias", ("head_bias",), None, np.asarray))
+    return entries
+
+
+def discriminator_n_key_map(n_layers: int = 2, use_bias: bool = True):
+    """(torch key → flax path) for DiscriminatorN_IN
+    (3_style_translator/training/models.py:426-474). InstanceNorm2d has no
+    parameters (torch default affine=False), so only convs are mapped."""
+    entries = []
+    names = ["conv0"] + [f"conv_{l}" for l in range(1, n_layers + 1)] + ["conv_out"]
+    for name in names:
+        tp = f"net.{name}.conv"
+        entries.append((tp + ".weight", (name, "kernel"), None, _conv_w))
+        if use_bias:
+            entries.append((tp + ".bias", (name, "bias"), None, np.asarray))
+    return entries
+
+
+def _convert_by_map(entries, state_dict: Mapping[str, Any],
+                    strict: bool) -> Dict[str, Dict]:
+    params: Dict = {}
+    stats: Dict = {}
+    for tkey, ppath, spath, tf in entries:
+        if tkey not in state_dict:
+            if strict:
+                raise KeyError(f"missing torch key {tkey}")
+            continue
+        val = tf(np.asarray(state_dict[tkey]))
+        if ppath is not None:
+            _set(params, ppath, val)
+        else:
+            _set(stats, spath, val)
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def convert_generator_j(state_dict: Mapping[str, Any], resnet_blocks: int = 7,
+                        use_bias: bool = False, tanh: bool = True,
+                        append_smoothers: bool = True,
+                        norm: str = "batch_norm",
+                        strict: bool = True) -> Dict[str, Dict]:
+    """Reference GeneratorJ state_dict → flax variables for
+    models/generator_j.py::GeneratorJ. Flax head params are raw leaves
+    (head_kernel/head_bias), everything else ConvBlock/BatchNorm trees."""
+    sd = {k: v for k, v in state_dict.items()
+          if not k.endswith("num_batches_tracked")}
+    entries = generator_j_key_map(resnet_blocks, use_bias, tanh,
+                                  append_smoothers, norm)
+    return _convert_by_map(entries, sd, strict)
+
+
+def convert_discriminator_n(state_dict: Mapping[str, Any],
+                            n_layers: int = 2, use_bias: bool = True,
+                            strict: bool = True) -> Dict[str, Dict]:
+    """Reference DiscriminatorN_IN state_dict → flax variables."""
+    sd = {k: v for k, v in state_dict.items()
+          if not k.endswith("num_batches_tracked")}
+    return _convert_by_map(discriminator_n_key_map(n_layers, use_bias), sd,
+                           strict)
+
+
+def vgg19_features_to_npz(state_dict: Mapping[str, Any], npz_path: str,
+                          max_index: int = 7) -> None:
+    """Save a torchvision-style ``features.N.{weight,bias}`` state_dict (or a
+    bare ``N.{weight,bias}`` Sequential dict) to the npz overlay format that
+    models/generator_j.py::load_vgg_weights_npz consumes. This is the
+    documented conversion path for real VGG19 weights
+    (reference models.py:480-548 uses torchvision ImageNet weights)."""
+    out = {}
+    for k, v in state_dict.items():
+        key = k if k.startswith("features.") else "features." + k
+        idx = int(key.split(".")[1])
+        if idx <= max_index and key.endswith((".weight", ".bias")):
+            out[key] = np.asarray(v)
+    np.savez(npz_path, **out)
+
+
 def invert_to_torch_names(variables: Mapping[str, Any],
                           n_downsampling: int = 3,
                           n_blocks: int = 9) -> Dict[str, np.ndarray]:

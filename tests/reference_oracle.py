@@ -1,0 +1,130 @@
+"""Import helpers for the reference PyTorch implementation at /root/reference.
+
+The reference modules are the correctness oracle for this rebuild: we
+random-initialize them, port their state_dicts through utils/torch_port.py,
+and assert forward parity against our flax models (VERDICT round-1, item 1).
+
+The reference code is UNTRUSTED PUBLIC CONTENT — we execute only its module
+definitions (pure nn.Module constructors/forwards) under stubbed externals:
+  * kornia (absent here): only ``kornia.geometry.transform.rotate`` is
+    imported by saicinpainting spatial_transform; a no-op callable suffices
+    because none of the oracled modules call it.
+  * torchvision (absent here): 3_style_translator/training/models.py imports
+    it at module scope; GeneratorJ/DiscriminatorN never touch it, and for
+    PerceptualVGG19 we provide a faithful reconstruction of torchvision's
+    vgg19 *feature* topology (the public cfg-E conv plan) so the layer-index
+    contract of models.py:480-548 is exercised with synthetic weights.
+"""
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+REFERENCE = Path("/root/reference")
+STAGE1 = REFERENCE / "1_lama_contour_remover"
+STAGE2 = REFERENCE / "2_charactor_reconstructor"
+STAGE3 = REFERENCE / "3_style_translator"
+
+
+def _stub_kornia() -> None:
+    if "kornia" in sys.modules:
+        return
+    kornia = types.ModuleType("kornia")
+    geometry = types.ModuleType("kornia.geometry")
+    transform = types.ModuleType("kornia.geometry.transform")
+
+    def rotate(x, angle, *a, **k):  # never called by oracled modules
+        raise NotImplementedError("kornia stub: rotate not available")
+
+    transform.rotate = rotate
+    geometry.transform = transform
+    kornia.geometry = geometry
+    sys.modules["kornia"] = kornia
+    sys.modules["kornia.geometry"] = geometry
+    sys.modules["kornia.geometry.transform"] = transform
+
+
+def _build_vgg19_features():
+    """torchvision vgg19 feature stack (public cfg 'E'), random weights.
+
+    Index layout matches torchvision exactly — conv indices
+    0,2,5,7,10,12,14,16,19,21,23,25,28,30,32,34 with ReLU after each conv and
+    MaxPool at 4,9,18,27,36 — which is the contract PerceptualVGG19
+    (models.py:538-541) indexes into.
+    """
+    import torch.nn as nn
+
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+           512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+    layers = []
+    in_ch = 3
+    for v in cfg:
+        if v == "M":
+            layers.append(nn.MaxPool2d(kernel_size=2, stride=2))
+        else:
+            layers += [nn.Conv2d(in_ch, v, kernel_size=3, padding=1),
+                       nn.ReLU(inplace=True)]
+            in_ch = v
+    return nn.Sequential(*layers)
+
+
+def _stub_torchvision() -> None:
+    if "torchvision" in sys.modules:
+        return
+    import torch.nn as nn
+
+    tv = types.ModuleType("torchvision")
+    models = types.ModuleType("torchvision.models")
+    ops = types.ModuleType("torchvision.ops")
+
+    class _VGG(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = _build_vgg19_features()
+            self.classifier = nn.Identity()
+
+    def vgg19(pretrained=False, **k):
+        return _VGG()
+
+    def deform_conv2d(*a, **k):
+        raise NotImplementedError("torchvision stub: deform_conv2d")
+
+    models.vgg19 = vgg19
+    ops.deform_conv2d = deform_conv2d
+    tv.models = models
+    tv.ops = ops
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = models
+    sys.modules["torchvision.ops"] = ops
+
+
+def import_reference_ffc():
+    """saicinpainting.training.modules.ffc (kornia stubbed)."""
+    _stub_kornia()
+    if str(STAGE1) not in sys.path:
+        sys.path.insert(0, str(STAGE1))
+    import saicinpainting.training.modules.ffc as ffc  # noqa: E402
+    return ffc
+
+
+def _import_file(name: str, path: Path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def import_reference_stage3_models():
+    """3_style_translator/training/models.py (torchvision stubbed)."""
+    _stub_torchvision()
+    return _import_file("ref_stage3_models",
+                        STAGE3 / "training" / "models.py")
+
+
+def import_reference_criterions():
+    """2_charactor_reconstructor/instant_nsr/systems/criterions.py."""
+    return _import_file("ref_criterions",
+                        STAGE2 / "instant_nsr" / "systems" / "criterions.py")

@@ -1,0 +1,338 @@
+"""Reference-oracle parity tests (VERDICT round-1, item 1).
+
+Instantiate the reference's own PyTorch modules (importable offline with
+kornia/torchvision stubbed, see reference_oracle.py), randomize their
+weights, port the state_dicts through utils/torch_port.py, and assert the
+flax rebuild produces the same outputs. This is the strongest correctness
+evidence available without shipped checkpoints: if these pass, a real
+reference checkpoint ports with the same code path.
+
+Oracles covered:
+  * FFCResNetGenerator   — 1_lama_contour_remover/saicinpainting/training/
+                           modules/ffc.py:304-366, lama-fourier.yaml kwargs
+  * GeneratorJ           — 3_style_translator/training/models.py:24-192
+  * DiscriminatorN_IN    — models.py:426-474
+  * PerceptualVGG19      — models.py:480-548 (torchvision vgg19 topology)
+  * criterions           — 2_charactor_reconstructor/instant_nsr/systems/
+                           criterions.py:4-27
+  * neus_ortho loss math — neus_ortho.py:106-151 formulas
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from drawingspinup_tpu.utils import torch_port  # noqa: E402
+
+import reference_oracle as oracle  # noqa: E402  (tests dir on sys.path)
+
+
+def _randomize_(module: "torch.nn.Module", seed: int) -> None:
+    """Replace every parameter/buffer with seeded random values so parity is
+    tested at non-default weights (BN running stats included)."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, p in module.named_parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+        for name, b in module.named_buffers():
+            if name.endswith("running_var"):
+                b.copy_(0.5 + torch.rand(b.shape, generator=g))
+            elif name.endswith("running_mean"):
+                b.copy_(torch.randn(b.shape, generator=g) * 0.1)
+
+
+def _to_numpy_sd(module: "torch.nn.Module") -> dict:
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+class TestFFCGeneratorParity:
+    def test_forward_parity_512(self):
+        """Full lama-fourier generator: ported weights, 512² input, fp32."""
+        ref_ffc = oracle.import_reference_ffc()
+        kwargs = dict(ratio_gin=0, ratio_gout=0, enable_lfu=False)
+        tm = ref_ffc.FFCResNetGenerator(
+            input_nc=4, output_nc=1, ngf=64, n_downsampling=3, n_blocks=9,
+            add_out_act="sigmoid",
+            init_conv_kwargs=kwargs, downsample_conv_kwargs=dict(kwargs),
+            resnet_conv_kwargs=dict(ratio_gin=0.75, ratio_gout=0.75,
+                                    enable_lfu=False))
+        _randomize_(tm, seed=7)
+        tm.eval()
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1, 4, 512, 512)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x)).numpy()
+
+        from drawingspinup_tpu.models.ffc import FFCResNetGenerator
+        fm = FFCResNetGenerator()
+        variables = torch_port.convert_ffc_generator(_to_numpy_sd(tm))
+        out = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       train=False)
+        out = np.asarray(out).transpose(0, 3, 1, 2)
+
+        assert out.shape == ref.shape
+        err = np.abs(out - ref).max()
+        assert err < 1e-3, f"FFC generator parity error {err}"
+
+    def test_port_covers_all_torch_params(self):
+        """Every torch key the reference checkpoint would carry is consumed
+        by the key map (no silently dropped weights)."""
+        ref_ffc = oracle.import_reference_ffc()
+        kwargs = dict(ratio_gin=0, ratio_gout=0, enable_lfu=False)
+        tm = ref_ffc.FFCResNetGenerator(
+            input_nc=4, output_nc=1, add_out_act="sigmoid",
+            init_conv_kwargs=kwargs, downsample_conv_kwargs=dict(kwargs),
+            resnet_conv_kwargs=dict(ratio_gin=0.75, ratio_gout=0.75,
+                                    enable_lfu=False))
+        sd_keys = {k for k in tm.state_dict()
+                   if not k.endswith("num_batches_tracked")}
+        mapped = {e[0] for e in torch_port.ffc_generator_key_map()}
+        missing = sd_keys - mapped
+        assert not missing, f"unmapped torch keys: {sorted(missing)[:10]}"
+
+
+class TestGeneratorJParity:
+    CFG = dict(resnet_blocks=7, use_bias=False, tanh=True,
+               append_smoothers=True)
+
+    def _ref_model(self):
+        m = oracle.import_reference_stage3_models()
+        tm = m.GeneratorJ(norm_layer="batch_norm",
+                          filters=(32, 64, 128, 128, 128, 64),
+                          input_channels=3, **self.CFG)
+        _randomize_(tm, seed=11)
+        tm.eval()
+        return tm
+
+    def test_forward_parity(self):
+        tm = self._ref_model()
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x)).numpy()
+
+        from drawingspinup_tpu.models.generator_j import GeneratorJ
+        fm = GeneratorJ(filters=(32, 64, 128, 128, 128, 64), **self.CFG)
+        variables = torch_port.convert_generator_j(_to_numpy_sd(tm))
+        out = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       train=False)
+        out = np.asarray(out).transpose(0, 3, 1, 2)
+        assert out.shape == ref.shape
+        err = np.abs(out - ref).max()
+        assert err < 1e-4, f"GeneratorJ parity error {err}"
+
+    def test_port_covers_all_torch_params(self):
+        tm = self._ref_model()
+        sd_keys = {k for k in tm.state_dict()
+                   if not k.endswith("num_batches_tracked")}
+        mapped = {e[0] for e in torch_port.generator_j_key_map(**self.CFG)}
+        missing = sd_keys - mapped
+        assert not missing, f"unmapped torch keys: {sorted(missing)[:10]}"
+
+
+class TestDiscriminatorNParity:
+    def test_forward_parity(self):
+        m = oracle.import_reference_stage3_models()
+        tm = m.DiscriminatorN_IN(num_filters=12, input_channels=3, n_layers=2)
+        _randomize_(tm, seed=13)
+        tm.eval()
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            ref, _ = tm(torch.from_numpy(x))
+        ref = ref.numpy()
+
+        from drawingspinup_tpu.models.generator_j import DiscriminatorN_IN
+        fm = DiscriminatorN_IN(num_filters=12, n_layers=2)
+        variables = torch_port.convert_discriminator_n(_to_numpy_sd(tm))
+        out, _ = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                          train=False)
+        out = np.asarray(out).transpose(0, 3, 1, 2)
+        assert out.shape == ref.shape
+        err = np.abs(out - ref).max()
+        assert err < 1e-4, f"DiscriminatorN_IN parity error {err}"
+
+
+class TestPerceptualVGGParity:
+    def test_feature_parity_with_ported_weights(self, tmp_path):
+        """Layer-for-layer parity of the {0,3,5} feature taps with weights
+        ported through the documented npz overlay path
+        (torch features state_dict → vgg19_features_to_npz →
+        load_vgg_weights_npz)."""
+        m = oracle.import_reference_stage3_models()
+        tm = m.PerceptualVGG19(feature_layers=[0, 3, 5],
+                               use_normalization=False)
+        _randomize_(tm.model.features, seed=17)
+        tm.eval()
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+        feats_ref = []
+        with torch.no_grad():
+            h = torch.from_numpy(x)
+            for f in range(6):
+                h = tm.model.features[f](h)
+                if f in (0, 3, 5):
+                    # .copy(): features[1] is ReLU(inplace=True) and would
+                    # mutate the collected pre-relu map through the shared
+                    # buffer (the reference clones for the same reason,
+                    # models.py:538-540)
+                    feats_ref.append(h.numpy().copy())
+
+        npz = str(tmp_path / "vgg19_features.npz")
+        torch_port.vgg19_features_to_npz(
+            _to_numpy_sd(tm.model.features), npz)
+
+        import jax
+        from drawingspinup_tpu.models.generator_j import (
+            PerceptualVGG19, load_vgg_weights_npz)
+        fm = PerceptualVGG19(feature_layers=(0, 3, 5),
+                             use_normalization=False)
+        variables = fm.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 3, 32, 32)).transpose(0, 2, 3, 1))
+        variables = load_vgg_weights_npz(variables, npz)
+        outs = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                        as_list=True)
+        assert len(outs) == 3
+        for got, want in zip(outs, feats_ref):
+            got = np.asarray(got).transpose(0, 3, 1, 2)
+            assert got.shape == want.shape
+            err = np.abs(got - want).max()
+            assert err < 1e-4, f"VGG feature parity error {err}"
+
+    def test_full_reference_run_contract(self):
+        """The reference run() concat (models.py:531-541) and our flattened
+        concat carry the same per-layer energy (the perceptual loss is a
+        squared distance, invariant to flatten order)."""
+        m = oracle.import_reference_stage3_models()
+        tm = m.PerceptualVGG19(feature_layers=[0, 3, 5],
+                               use_normalization=False)
+        tm.eval()
+        x = torch.zeros(1, 3, 32, 32)
+        with torch.no_grad():
+            _, flat = tm(x)
+        # 64·32² + 64·32² + 128·16² = 163840
+        assert flat.shape == (1, 64 * 32 * 32 + 64 * 32 * 32 + 128 * 16 * 16)
+
+
+class TestCriterionsOracle:
+    def test_binary_cross_entropy(self):
+        ref = oracle.import_reference_criterions()
+        rng = np.random.default_rng(4)
+        x = rng.uniform(1e-3, 1 - 1e-3, size=(256,)).astype(np.float32)
+        t = (rng.uniform(size=(256,)) > 0.5).astype(np.float32)
+        want = ref.binary_cross_entropy(torch.from_numpy(x),
+                                        torch.from_numpy(t)).item()
+        from drawingspinup_tpu.train.losses import binary_cross_entropy
+        got = float(jnp.mean(binary_cross_entropy(jnp.asarray(x),
+                                                  jnp.asarray(t))))
+        assert abs(got - want) < 1e-5
+
+    def test_ranking_loss_on_sorted_input(self):
+        """On pre-sorted errors the reference's double-indexing quirk
+        (criterions.py:18-20) is a no-op, so both implementations must agree
+        exactly; this pins our 'intended semantics' reading to the reference
+        where the reference is unambiguous."""
+        ref = oracle.import_reference_criterions()
+        rng = np.random.default_rng(5)
+        e = np.sort(rng.uniform(size=(100,)).astype(np.float32))
+        for ratio in (0.5, 0.7, 1.0):
+            want = ref.ranking_loss(torch.from_numpy(e),
+                                    penalize_ratio=ratio).item()
+            from drawingspinup_tpu.train.losses import ranking_loss
+            got = float(ranking_loss(jnp.asarray(e), penalize_ratio=ratio))
+            assert abs(got - want) < 1e-6, (ratio, got, want)
+
+    def test_ranking_loss_sum_with_weights_sorted(self):
+        ref = oracle.import_reference_criterions()
+        rng = np.random.default_rng(6)
+        e = np.sort(rng.uniform(size=(64,)).astype(np.float32))
+        w = rng.uniform(0.5, 2.0, size=(64,)).astype(np.float32)
+        want = ref.ranking_loss(torch.from_numpy(e), penalize_ratio=0.8,
+                                extra_weights=torch.from_numpy(w),
+                                type="sum").item()
+        from drawingspinup_tpu.train.losses import ranking_loss
+        got = float(ranking_loss(jnp.asarray(e), penalize_ratio=0.8,
+                                 extra_weights=jnp.asarray(w),
+                                 reduction="sum"))
+        assert abs(got - want) < 1e-5
+
+    def test_ranking_loss_intended_semantics_unsorted(self):
+        """Our implementation keeps the k smallest errors (the paper's
+        intent); verified against a direct numpy computation on unsorted
+        input, where the reference's index_select quirk diverges."""
+        rng = np.random.default_rng(7)
+        e = rng.uniform(size=(50,)).astype(np.float32)
+        k = int(0.7 * 50)
+        want = float(np.sort(e)[:k].mean())
+        from drawingspinup_tpu.train.losses import ranking_loss
+        got = float(ranking_loss(jnp.asarray(e), penalize_ratio=0.7))
+        assert abs(got - want) < 1e-6
+
+
+class TestNeusLossOracle:
+    """Formula oracles for neus_ortho.py:106-151 written as direct torch
+    expressions (the reference file itself needs pytorch-lightning to
+    import)."""
+
+    def test_eikonal(self):
+        rng = np.random.default_rng(8)
+        g = rng.standard_normal((128, 3)).astype(np.float32)
+        tg = torch.from_numpy(g)
+        # neus_ortho.py:123
+        want = ((torch.linalg.norm(tg, ord=2, dim=-1) - 1.0) ** 2).mean().item()
+        from drawingspinup_tpu.train.losses import eikonal_loss
+        got = float(eikonal_loss(jnp.asarray(g)))
+        assert abs(got - want) < 1e-5
+
+    def test_sparsity(self):
+        rng = np.random.default_rng(9)
+        s = rng.standard_normal((256,)).astype(np.float32) * 0.05
+        # neus_ortho.py:135 with sparsity_scale=100
+        want = torch.exp(-100.0 * torch.from_numpy(s).abs()).mean().item()
+        from drawingspinup_tpu.train.losses import sparsity_loss
+        got = float(sparsity_loss(jnp.asarray(s), scale=100.0))
+        assert abs(got - want) < 1e-5
+
+    def test_normal_smooth(self):
+        rng = np.random.default_rng(10)
+        a = rng.standard_normal((64, 3)).astype(np.float32)
+        b = a + rng.standard_normal((64, 3)).astype(np.float32) * 0.01
+        # neus_ortho.py:149
+        want = (torch.from_numpy(a) - torch.from_numpy(b)).abs().mean().item()
+        from drawingspinup_tpu.train.losses import normal_smooth_loss
+        got = float(normal_smooth_loss(jnp.asarray(a), jnp.asarray(b)))
+        assert abs(got - want) < 1e-6
+
+    def test_geo_aware_normal_error_weighting(self):
+        """neus_ortho.py:106-108: errors scaled by exp|cos| normalized over
+        the batch, then rank-kept with view weights, summed."""
+        rng = np.random.default_rng(11)
+        n_pred = rng.standard_normal((40, 3)).astype(np.float32)
+        n_gt = rng.standard_normal((40, 3)).astype(np.float32)
+        cosines = rng.uniform(-1, 1, size=(40,)).astype(np.float32)
+        vw = rng.uniform(0.5, 2.0, size=(40,)).astype(np.float32)
+
+        tp, tg = torch.from_numpy(n_pred), torch.from_numpy(n_gt)
+        errs = 1 - torch.nn.functional.cosine_similarity(tp, tg, dim=1)
+        w = torch.exp(torch.from_numpy(cosines).abs())
+        errs = errs * w / w.sum()
+        # intended ranking semantics (sorted selection), type='sum'
+        order = torch.argsort(errs)
+        k = int(0.9 * errs.shape[0])
+        want = (errs[order[:k]] * torch.from_numpy(vw)[order[:k]]).sum().item()
+
+        from drawingspinup_tpu.train.losses import (cosine_similarity,
+                                                    ranking_loss)
+        e = 1 - cosine_similarity(jnp.asarray(n_pred), jnp.asarray(n_gt))
+        wj = jnp.exp(jnp.abs(jnp.asarray(cosines)))
+        e = e * wj / jnp.sum(wj)
+        got = float(ranking_loss(e, penalize_ratio=0.9,
+                                 extra_weights=jnp.asarray(vw),
+                                 reduction="sum"))
+        assert abs(got - want) < 1e-6
