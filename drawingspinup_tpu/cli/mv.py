@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 _PIPE_CACHE: dict = {}
 
@@ -50,7 +51,12 @@ def main(argv=None) -> int:
     # cache the pipeline across main() calls: a sweep invokes this CLI
     # per uid in one process, and re-initializing the SD-scale models
     # costs ~20-30 s each time
-    cache_key = (args.ckpt, args.steps, args.size, args.out_size, args.tiny)
+    # key includes the checkpoint mtime so a regenerated file at the same
+    # path invalidates the cache (ADVICE r1)
+    ckpt_mtime = os.path.getmtime(args.ckpt) \
+        if args.ckpt and os.path.exists(args.ckpt) else None
+    cache_key = (args.ckpt, ckpt_mtime, args.steps, args.size, args.out_size,
+                 args.tiny)
     if _PIPE_CACHE.get("key") == cache_key:
         pipe = _PIPE_CACHE["pipe"]
     elif args.ckpt:

@@ -85,7 +85,13 @@ def main(argv=None) -> int:
         uids = load_uid_list(cfg.get("uid_json"))
     # cache model+weights across main() calls (a sweep invokes this per uid
     # in one process; init+load costs ~5 s each time)
-    cache_key = (args.config, tuple(args.overrides))
+    pre = cfg.get("pretrained", Config())
+    ck_full = os.path.join(pre.get("path", ""),
+                           pre.get("generator_checkpoint", ""))
+    # include the checkpoint mtime so a file regenerated at the same path
+    # invalidates the cache (ADVICE r1)
+    ck_mtime = os.path.getmtime(ck_full) if os.path.exists(ck_full) else None
+    cache_key = (args.config, tuple(args.overrides), ck_mtime)
     if _VAR_CACHE.get("key") == cache_key:
         model, variables = _VAR_CACHE["mv"]
     else:

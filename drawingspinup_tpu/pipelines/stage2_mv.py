@@ -229,7 +229,12 @@ class MVPipeline:
         # multi-hour "hang" in cli/mv.py at production size). The jitted
         # fns are cached on the instance so repeat calls skip re-lowering
         # (ts/acp are tiny cfg-derived constants — safe to close over).
-        if not hasattr(self, "_sample_jit"):
+        # Cache keyed on the schedule knobs the closure bakes in, so a
+        # future per-call steps/eta override can't silently reuse a stale
+        # closure (ADVICE r1).
+        cache_key = (cfg.num_inference_steps, cfg.eta, cfg.compute_dtype)
+        if getattr(self, "_sample_key", None) != cache_key:
+            self._sample_key = cache_key
             @jax.jit
             def sample_loop(params, cond_c, embeds_c, cam_c, latents, key):
                 def body(i, carry):

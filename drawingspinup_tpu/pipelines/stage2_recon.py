@@ -109,7 +109,7 @@ def load_front_mask(paths: UidPaths) -> Optional[np.ndarray]:
 
 def eval_sdf_grid(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
                   vmax: np.ndarray, resolution: int,
-                  chunk: int = 262144, step: int = 10 ** 9) -> np.ndarray:
+                  step: int = 10 ** 9) -> np.ndarray:
     """SDF on a res³ grid spanning [vmin, vmax], evaluated ENTIRELY on
     device (coords generated in-graph, one lax.map slab per x-plane, one
     bf16 D2H of the full grid). Returns (res, res, res) float32, meshgrid
@@ -117,10 +117,11 @@ def eval_sdf_grid(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
 
     The earlier host-chunked loop made res³/chunk (512 at mc512) sequential
     H2D→eval→D2H round trips through the device tunnel — ~6 min of the
-    export. This form runs 8 device programs (lax.map over x-planes inside
+    export. This form runs ≤8 device programs (lax.map over x-planes inside
     each) with a ~34 MB bf16 D2H per program at the measured ~65 MB/s
     (PERF_NOTES.md). A single 512-plane program crashed the remote worker
-    (watchdog), hence the 8-way split."""
+    (watchdog), hence the split — np.array_split so EVERY resolution gets
+    bounded-size programs (not just multiples of 8)."""
     R = resolution
     level_mask = progressive_mask(cfg.sdf.grid, jnp.asarray(step))
     # statically elide never-unlocked hash levels (same trick as the train
@@ -128,13 +129,12 @@ def eval_sdf_grid(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
     # and gather cost is per-index — they were ~45% of the export grid's
     # index traffic when gathered-then-masked
     n_active = min(cfg.sdf.grid.current_level(step), cfg.sdf.grid.n_levels)
-    n_parts = 8 if R % 8 == 0 else 1
     _grid = _grid_eval_fn(cfg.sdf, R, n_active)
 
     xs_full = np.linspace(vmin[0], vmax[0], R, dtype=np.float32)
     vmin_j, vmax_j = jnp.asarray(vmin), jnp.asarray(vmax)
     parts = []
-    for xs_part in np.split(xs_full, n_parts):
+    for xs_part in np.array_split(xs_full, min(8, R)):
         parts.append(np.asarray(_grid(params, level_mask,
                                       jnp.asarray(xs_part), vmin_j, vmax_j),
                                 dtype=np.float32))
@@ -164,10 +164,109 @@ def _grid_eval_fn(sdf_cfg, R: int, n_active: int):
     return _grid
 
 
+@lru_cache(maxsize=8)
+def _block_eval_fn(sdf_cfg, R: int, block: int, cells_per_launch: int,
+                   n_active: int):
+    """Jitted sparse-block evaluator: (CB,3) int block ids → (CB, b³) sdf.
+    Fine coordinates are generated IN-GRAPH from the block ids, so each
+    launch uploads ~CB·12 bytes instead of CB·b³·12 (the tunnel's H2D
+    bandwidth is the constraint, PERF_NOTES.md)."""
+
+    @jax.jit
+    def _eval(params, level_mask, block_ids, vmin, vmax):
+        b = block
+        offs = jnp.stack(jnp.meshgrid(jnp.arange(b), jnp.arange(b),
+                                      jnp.arange(b), indexing="ij"),
+                         axis=-1).reshape(-1, 3)               # (b³, 3)
+        idx = block_ids[:, None, :] * b + offs[None, :, :]     # (CB, b³, 3)
+        t = idx.astype(jnp.float32) / (R - 1)
+        pts = (vmin[None, None, :]
+               + t * (vmax - vmin)[None, None, :]).reshape(-1, 3)
+        sdf, _ = sdf_forward(sdf_cfg, params["geometry"], pts, level_mask,
+                             n_active=n_active)
+        return sdf.reshape(cells_per_launch, b ** 3).astype(jnp.bfloat16)
+
+    return _eval
+
+
+def eval_sdf_grid_sparse(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
+                         vmax: np.ndarray, resolution: int,
+                         step: int = 10 ** 9, block: int = 4,
+                         band_cells: float = 2.0) -> np.ndarray:
+    """Surface-band sparse version of ``eval_sdf_grid``: evaluate a coarse
+    (R/block+1)³ grid over the same extent, then re-evaluate at full
+    resolution ONLY the ``block``³ fine blocks whose coarse cell corners
+    come within ``band_cells`` coarse cells of the surface (dilated by one
+    block). Off-band blocks are filled piecewise-constant from their cell's
+    low corner — only the SIGN matters there (binary marching,
+    geometry.py:50-61 semantics), and under the eikonal Lipschitz bound a
+    sign-wrong fill would need |sdf(corner)| < cell·√3 < band, which forces
+    the block into the evaluated band first. So the sparse grid's sign
+    field equals the dense one's by construction, not luck (equivalence
+    tested in tests/test_stage2_pipeline.py).
+
+    At mc512 the surface band covers ~8-12% of the 134 M grid points,
+    cutting the export's dominant cost (~60 s dense grid eval,
+    PERF_NOTES.md) to the coarse pass + band evals."""
+    R = resolution
+    assert R % block == 0, (R, block)
+    assert band_cells >= 1.8, "band must cover the cell diagonal (√3)"
+    nb = R // block
+    rc = nb + 1
+    coarse = eval_sdf_grid(cfg, params, vmin, vmax, rc, step=step)
+
+    cell_world = float(np.max((vmax - vmin) / (rc - 1)))
+    band = band_cells * cell_world
+    # per coarse cell: min |sdf| over its 8 corners (shifted-view min)
+    a = np.abs(coarse)
+    blk_min = a[:-1, :-1, :-1]
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                if dx or dy or dz:
+                    blk_min = np.minimum(
+                        blk_min, a[dx:dx + nb, dy:dy + nb, dz:dz + nb])
+    active = blk_min < band
+    # piecewise-constant fill from the cell's low corner (~1 s at 512³ vs
+    # ~8 s for a full trilinear upsample; sign-equivalent per the bound
+    # above). Fine values are scattered over it below.
+    grid = np.repeat(np.repeat(np.repeat(
+        coarse[:-1, :-1, :-1], block, 0), block, 1), block, 2)
+    # dilate by one block (6-neighborhood) so the binary smoothing kernel
+    # never straddles an exact/upsampled seam right at the surface
+    d = active.copy()
+    for axis in range(3):
+        d |= np.roll(active, 1, axis=axis) | np.roll(active, -1, axis=axis)
+    # np.roll wraps; sdf is positive at the boundary shells so wrap-on is
+    # harmless (only adds evaluations)
+    ids = np.argwhere(d).astype(np.int32)                      # (K, 3)
+    if len(ids) == 0:
+        return grid
+
+    level_mask = progressive_mask(cfg.sdf.grid, jnp.asarray(step))
+    n_active = min(cfg.sdf.grid.current_level(step), cfg.sdf.grid.n_levels)
+    cb = max(1, 262144 // block ** 3)                          # pts/launch
+    _eval = _block_eval_fn(cfg.sdf, R, block, cb, n_active)
+
+    pad = (-len(ids)) % cb
+    ids_p = np.concatenate([ids, np.repeat(ids[:1], pad, axis=0)], axis=0) \
+        if pad else ids
+    vmin_j, vmax_j = jnp.asarray(vmin), jnp.asarray(vmax)
+    vals = []
+    for part in ids_p.reshape(-1, cb, 3):
+        vals.append(np.asarray(_eval(params, level_mask, jnp.asarray(part),
+                                     vmin_j, vmax_j), dtype=np.float32))
+    vals = np.concatenate(vals, axis=0)[:len(ids)]             # (K, b³)
+    gview = grid.reshape(nb, block, nb, block, nb, block)
+    gview[ids[:, 0], :, ids[:, 1], :, ids[:, 2], :] = \
+        vals.reshape(-1, block, block, block)
+    return grid
+
+
 def isosurface(cfg: nsr.NSRConfig, params, resolution: int = 512,
                front_mask: Optional[np.ndarray] = None,
                face_count: int = 50000, remeshing: bool = True,
-               chunk: int = 262144, step: int = 10 ** 9
+               step: int = 10 ** 9, sparse: Optional[bool] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
     """Two-pass (coarse → bbox → fine) extraction with optional front-mask
     carving, smoothing of the binary field, and quadric remesh.
@@ -180,7 +279,7 @@ def isosurface(cfg: nsr.NSRConfig, params, resolution: int = 512,
     # coarse pass at a reduced resolution — only the bbox matters
     coarse_res = min(resolution, 128)
     level = eval_sdf_grid(cfg, params, np.array([-r] * 3), np.array([r] * 3),
-                          coarse_res, chunk, step=step)
+                          coarse_res, step=step)
     v_c, _ = extract_isosurface((level <= 0).astype(np.float32), sigma=1.0)
     if len(v_c) == 0:
         raise RuntimeError("empty isosurface (no negative SDF region)")
@@ -188,8 +287,13 @@ def isosurface(cfg: nsr.NSRConfig, params, resolution: int = 512,
     vmin = np.clip(v_c.min(0) - (v_c.max(0) - v_c.min(0)) * 0.1, -r, r)
     vmax = np.clip(v_c.max(0) + (v_c.max(0) - v_c.min(0)) * 0.1, -r, r)
 
-    level = eval_sdf_grid(cfg, params, vmin, vmax, resolution, chunk,
-                          step=step)
+    if sparse is None:
+        sparse = resolution >= 256 and resolution % 4 == 0
+    if sparse:
+        level = eval_sdf_grid_sparse(cfg, params, vmin, vmax, resolution,
+                                     step=step)
+    else:
+        level = eval_sdf_grid(cfg, params, vmin, vmax, resolution, step=step)
     binary = (level <= 0)
     if front_mask is not None:
         size = front_mask.shape[0] / 2

@@ -39,7 +39,22 @@ def stage_done(paths: UidPaths, stage: str) -> bool:
 
 
 def _transient(e: Exception) -> bool:
-    """Device-loss errors worth one retry (remote worker crash/restart)."""
+    """Device-loss errors worth one retry (remote worker crash/restart).
+
+    Matched by exception TYPE first (jaxlib runtime errors), then by status
+    substring — an application ValueError whose text merely mentions
+    'UNAVAILABLE' is not retried (ADVICE r1)."""
+    try:
+        from jax.errors import JaxRuntimeError
+        runtime_types: tuple = (JaxRuntimeError,)
+    except ImportError:  # older jaxlib spells it XlaRuntimeError
+        try:
+            from jaxlib.xla_extension import XlaRuntimeError
+            runtime_types = (XlaRuntimeError,)
+        except ImportError:
+            runtime_types = ()
+    if runtime_types and not isinstance(e, runtime_types):
+        return False
     msg = str(e)
     return any(s in msg for s in
                ("UNAVAILABLE", "crashed or restarted", "DEADLINE_EXCEEDED"))
@@ -88,7 +103,10 @@ def run_sweep(root: str, uid_json: str,
                 print(f"[sweep] {uid}/{stage} transient device error — "
                       f"retrying once: {e}")
                 time.sleep(10.0)
-                fn(uid)
+                # the stage may have completed before the device dropped —
+                # re-check instead of re-running (ADVICE r1)
+                if not (resume and stage_done(paths, stage)):
+                    fn(uid)
             logger.log(uid=uid, stage=stage, seconds=time.time() - st)
             t_uid[uid] += time.time() - st
         except Exception as e:

@@ -102,3 +102,55 @@ def test_recon_end_to_end(tmp_path):
     expected = 0.45 * 0.5 * 1.35
     assert abs(np.median(r) - expected) / expected < 0.35, \
         (np.median(r), expected)
+
+
+def test_sparse_grid_matches_dense():
+    """eval_sdf_grid_sparse must reproduce the dense grid's SIGN field (the
+    only thing binary marching sees) and be exact inside the surface band.
+    Random sphere-init params give a clean SDF ≈ sphere(0.5)."""
+    import jax
+
+    from drawingspinup_tpu.pipelines import stage2_recon as s2
+    from drawingspinup_tpu.train import nsr
+    from test_nsr import TINY_NSR
+
+    state = nsr.init_state(TINY_NSR, jax.random.PRNGKey(3))
+    vmin = np.array([-0.8, -0.8, -0.8], np.float32)
+    vmax = np.array([0.8, 0.8, 0.8], np.float32)
+    R = 64
+    dense = s2.eval_sdf_grid(TINY_NSR, state.params, vmin, vmax, R,
+                             step=TINY_NSR.max_steps)
+    sparse = s2.eval_sdf_grid_sparse(TINY_NSR, state.params, vmin, vmax, R,
+                                     step=TINY_NSR.max_steps)
+    assert sparse.shape == dense.shape
+    # sign parity everywhere
+    assert np.array_equal(sparse <= 0, dense <= 0)
+    # exact (bf16-rounded) values within the surface band
+    cell = float(np.max((vmax - vmin) / (R // 4)))
+    near = np.abs(dense) < cell
+    assert near.any()
+    assert np.abs(sparse[near] - dense[near]).max() < 1e-2
+    # extracted meshes coincide
+    from drawingspinup_tpu.render.marching import extract_isosurface
+    vd, fd = extract_isosurface((dense <= 0).astype(np.float32), sigma=1.0)
+    vs, fs = extract_isosurface((sparse <= 0).astype(np.float32), sigma=1.0)
+    assert len(vd) == len(vs) and len(fd) == len(fs)
+    assert np.abs(vd - vs).max() < 1e-4
+
+
+def test_sparse_grid_odd_resolution_falls_back_cleanly():
+    """ADVICE r1: every resolution must get bounded-size slab programs —
+    np.array_split path, exercised at a non-multiple-of-8 resolution."""
+    import jax
+
+    from drawingspinup_tpu.pipelines import stage2_recon as s2
+    from drawingspinup_tpu.train import nsr
+    from test_nsr import TINY_NSR
+
+    state = nsr.init_state(TINY_NSR, jax.random.PRNGKey(3))
+    vmin = np.array([-0.7] * 3, np.float32)
+    vmax = np.array([0.7] * 3, np.float32)
+    g = s2.eval_sdf_grid(TINY_NSR, state.params, vmin, vmax, 27,
+                         step=TINY_NSR.max_steps)
+    assert g.shape == (27, 27, 27)
+    assert np.isfinite(g).all()
