@@ -20,18 +20,40 @@ def main(argv=None) -> int:
     from drawingspinup_tpu.core import jax_setup
     jax_setup.setup()
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default=None,
+                    help="reference-format mvdiffusion-joint-ortho-6views"
+                         ".yaml (default: packaged copy)")
     ap.add_argument("--uid", required=True)
-    ap.add_argument("--root",
-                    default="../dataset/AnimatedDrawings/preprocessed")
+    ap.add_argument("--root", default=None)
     ap.add_argument("--ckpt", default=None,
                     help="local diffusers-layout Wonder3D checkpoint dir")
-    ap.add_argument("--steps", type=int, default=75)
-    ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--size", type=int, default=256)
-    ap.add_argument("--out-size", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--size", type=int, default=None)
+    ap.add_argument("--out-size", type=int, default=None)
     ap.add_argument("--tiny", action="store_true",
                     help="small UNet/CLIP for smoke tests")
     args = ap.parse_args(argv)
+
+    # reference-format config supplies the defaults; CLI flags override
+    # (reference mv.py:21-26 dotlist semantics)
+    from drawingspinup_tpu.core import load_config
+    cfg_path = args.config or os.path.join(
+        os.path.dirname(__file__), "..", "configs",
+        "mvdiffusion-joint-ortho-6views.yaml")
+    ycfg = load_config(cfg_path)
+    pvk = ycfg.get("pipe_validation_kwargs", {})
+    vds = ycfg.get("validation_dataset", {})
+    args.root = args.root or ycfg.get("data_root")
+    args.ckpt = args.ckpt or ycfg.get("pretrained_model_name_or_path")
+    args.steps = args.steps if args.steps is not None \
+        else int(pvk.get("num_inference_steps", 75))
+    args.seed = args.seed if args.seed is not None \
+        else int(ycfg.get("seed", 42))
+    args.size = args.size if args.size is not None \
+        else int(vds.get("img_wh", [256, 256])[0])
+    args.out_size = args.out_size if args.out_size is not None \
+        else int(ycfg.get("resolution", [1024, 1024])[0])
 
     import dataclasses
 
@@ -47,6 +69,9 @@ def main(argv=None) -> int:
                                        cross_attention_dim=32)
     cfg = mv.MVPipelineConfig(num_inference_steps=args.steps,
                               image_size=args.size, out_size=args.out_size,
+                              eta=float(pvk.get("eta", 1.0)),
+                              guidance_scale=float(
+                                  pvk.get("guidance_scale", 1.0)),
                               **unet_kw)
     # cache the pipeline across main() calls: a sweep invokes this CLI
     # per uid in one process, and re-initializing the SD-scale models

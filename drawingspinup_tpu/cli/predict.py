@@ -86,8 +86,8 @@ def main(argv=None) -> int:
     # cache model+weights across main() calls (a sweep invokes this per uid
     # in one process; init+load costs ~5 s each time)
     pre = cfg.get("pretrained", Config())
-    ck_full = os.path.join(pre.get("path", ""),
-                           pre.get("generator_checkpoint", ""))
+    ck_full = os.path.join(pre.get("path") or "",
+                           pre.get("generator_checkpoint") or "")
     # include the checkpoint mtime so a file regenerated at the same path
     # invalidates the cache (ADVICE r1)
     ck_mtime = os.path.getmtime(ck_full) if os.path.exists(ck_full) else None

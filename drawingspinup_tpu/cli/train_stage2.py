@@ -10,14 +10,22 @@ def main(argv=None) -> int:
     jax_setup.setup()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--uid", required=True)
-    ap.add_argument("--root", default="../dataset/AnimatedDrawings/preprocessed")
+    ap.add_argument("--root", default=None)
+    ap.add_argument("--config", default=None,
+                    help="reference-format config_stage2.yaml "
+                         "(default: packaged copy)")
     ap.add_argument("--no_mask", action="store_true")
     ap.add_argument("--no_pos", action="store_true")
     ap.add_argument("--max-batches", type=int, default=None)
     args = ap.parse_args(argv)
     from drawingspinup_tpu.pipelines import stage3_translate as st
-    st.train_stage(args.root, args.uid, 2, use_mask=not args.no_mask,
-                   use_pos=not args.no_pos, max_batches=args.max_batches)
+    cfg, extras = st.gan_config_from_yaml(
+        args.config or st.DEFAULT_STAGE_CFGS[2],
+        use_mask=not args.no_mask, use_pos=not args.no_pos)
+    root = args.root or extras["root_dir"]
+    st.train_stage(root, args.uid, 2, use_mask=not args.no_mask,
+                   use_pos=not args.no_pos, cfg=cfg,
+                   max_batches=args.max_batches)
     return 0
 
 

@@ -54,6 +54,61 @@ def _input_channels(use_mask: bool, use_pos: bool) -> int:
     return 3 + (1 if use_mask else 0) + (2 if use_pos else 0)
 
 
+DEFAULT_STAGE_CFGS = {
+    1: os.path.join(os.path.dirname(__file__), "..", "configs",
+                    "config_stage1.yaml"),
+    2: os.path.join(os.path.dirname(__file__), "..", "configs",
+                    "config_stage2.yaml"),
+}
+
+
+def gan_config_from_yaml(path: str, use_mask: bool = True,
+                         use_pos: bool = True, **overrides):
+    """Load a reference-format stage-3 yaml (config_stage{1,2}.yaml:1-75 —
+    generator/opt_generator/discriminator/perception_loss/trainer/job blocks)
+    → (GANConfig, job dict with pre_dir/post_name/root_dir).
+
+    The yaml's ``input_channels`` is the base RGB count; the mask/pos
+    channels are added by the CLI flags exactly as the reference
+    train_stage1.py:27-33 mutates them."""
+    from drawingspinup_tpu.core import load_config
+
+    y = load_config(path)
+    job = y.get("job", y)
+    g = job.get("generator", {})
+    ga = g.get("args", {})
+    og = job.get("opt_generator", {}).get("args", {})
+    d = job.get("discriminator", {}).get("args", {})
+    pl = job.get("perception_loss", {})
+    tr = job.get("trainer", {})
+    base_ch = int(ga.get("input_channels", 3))
+    kw = dict(
+        generator=g.get("type", "GeneratorJ_RIC"),
+        filters=tuple(ga.get("filters", (32, 64, 128, 128, 128, 64))),
+        resnet_blocks=ga.get("resnet_blocks", 7),
+        tanh=ga.get("tanh", True),
+        append_smoothers=ga.get("append_smoothers", True),
+        input_channels=base_ch + (1 if use_mask else 0)
+        + (2 if use_pos else 0),
+        disc_filters=d.get("num_filters", 12),
+        disc_layers=d.get("n_layers", 2),
+        lr=og.get("lr", 4e-4),
+        weight_decay=og.get("weight_decay", 1e-5),
+        batch_size=tr.get("batch_size", 40),
+        patch_size=tr.get("patch_size", 32),
+        reconstruction_weight=tr.get("reconstruction_weight", 4.0),
+        perception_weight=pl.get("weight", 6.0),
+        adversarial_weight=tr.get("adversarial_weight", 0.5),
+        log_interval=tr.get("log_interval", 1000),
+        epochs=tr.get("epochs", 3),
+        use_image_loss=tr.get("use_image_loss", True),
+    )
+    kw.update(overrides)
+    extras = {"pre_dir": tr.get("pre_dir"), "post_name": tr.get("post_name"),
+              "root_dir": job.get("root_dir")}
+    return gan.GANConfig(**kw), extras
+
+
 def make_config(stage: int, use_mask: bool = True, use_pos: bool = True,
                 **overrides) -> gan.GANConfig:
     s = stage_settings(stage, use_mask, use_pos)
