@@ -50,6 +50,9 @@ class GANConfig:
     log_interval: int = 1000
     epochs: int = 3
     use_image_loss: bool = True
+    # path to a VGG19-features npz (scripts/export_vgg19_npz.py); None →
+    # $DSU_VGG19_NPZ → loud random-feature fallback
+    vgg_npz: Optional[str] = None
 
 
 class GANState(NamedTuple):
@@ -98,6 +101,24 @@ def init_state(cfg: GANConfig, key: jax.Array) -> GANState:
     # fixed-seed VGG init → deterministic random-feature perceptual metric
     vgg_vars = jax.jit(vgg.init)(jax.random.PRNGKey(12345),
                                  jnp.zeros((1, p, p, 3), jnp.float32))
+    # Real VGG19 weights: overlay from an npz (scripts/export_vgg19_npz.py
+    # converts a torchvision state_dict) given via cfg.vgg_npz or
+    # $DSU_VGG19_NPZ. The reference trains against frozen ImageNet VGG19
+    # features (3_style_translator/training/models.py:480-548); without
+    # them the perceptual loss uses fixed RANDOM features, which measurably
+    # changes stylization — so the fallback is LOUD, not silent.
+    import sys
+    npz = cfg.vgg_npz or os.environ.get("DSU_VGG19_NPZ")
+    if npz and os.path.exists(npz):
+        from drawingspinup_tpu.models.generator_j import load_vgg_weights_npz
+        vgg_vars = load_vgg_weights_npz(dict(vgg_vars), npz)
+        print(f"[gan] perceptual loss: real VGG19 weights from {npz}")
+    else:
+        print("WARNING: [gan] perceptual loss running with FIXED RANDOM VGG "
+              "features (no VGG19 weights found — set DSU_VGG19_NPZ or "
+              "GANConfig.vgg_npz to an npz from "
+              "scripts/export_vgg19_npz.py to match the reference's "
+              "ImageNet-VGG perceptual loss)", file=sys.stderr)
     g_tx, d_tx = make_optimizers(cfg)
     return GANState(
         g_params=g_vars["params"], g_stats=g_vars.get("batch_stats", {}),

@@ -249,3 +249,41 @@ def test_mvdiffusion_config_yaml_twin():
     assert y["validation_dataset"]["img_wh"] == [256, 256]
     assert y["seed"] == 123456
     assert len(y["views"]) == 6
+
+
+def test_gan_vgg_npz_overlay(tmp_path, capsys):
+    """init_state overlays real VGG weights when DSU_VGG19_NPZ points at an
+    npz (VERDICT r1 #5), and warns LOUDLY on the random-feature fallback."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from drawingspinup_tpu.train import gan
+
+    cfg = gan.GANConfig(generator="GeneratorJ", input_channels=3,
+                        batch_size=2, patch_size=16)
+    # fallback: loud warning on stderr
+    gan.init_state(cfg, jax.random.PRNGKey(0))
+    err = capsys.readouterr().err
+    assert "FIXED RANDOM VGG" in err
+
+    rng = np.random.default_rng(0)
+    data = {}
+    for i, (o, c) in enumerate(zip([64, 64, 128, 128], [3, 64, 64, 128])):
+        ti = [0, 2, 5, 7][i]
+        data[f"features.{ti}.weight"] = \
+            rng.standard_normal((o, c, 3, 3)).astype(np.float32)
+        data[f"features.{ti}.bias"] = np.zeros(o, np.float32)
+    npz = tmp_path / "vgg.npz"
+    np.savez(npz, **data)
+
+    state = gan.init_state(
+        gan.GANConfig(generator="GeneratorJ", input_channels=3,
+                      batch_size=2, patch_size=16, vgg_npz=str(npz)),
+        jax.random.PRNGKey(0))
+    out = capsys.readouterr().out
+    assert "real VGG19 weights" in out
+    got = np.asarray(state.vgg_params["vggconv0"]["kernel"])
+    want = data["features.0.weight"].transpose(2, 3, 1, 0)
+    assert np.allclose(got, want)
