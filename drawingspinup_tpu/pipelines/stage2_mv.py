@@ -119,6 +119,25 @@ class MVPipelineConfig:
                                 projection_dim=self.unet.cross_attention_dim)
 
 
+def _mv_batch_sharding(batch: int):
+    """(batch NamedSharding, replicated NamedSharding) over a dp mesh of the
+    largest divisor of ``batch`` ≤ device count, or None single-device.
+    12 views over 8 chips → dp=6 (shardings must divide the batch axis)."""
+    devs = jax.devices()
+    if len(devs) <= 1:
+        return None
+    dp = 1
+    for cand in range(min(batch, len(devs)), 0, -1):
+        if batch % cand == 0:
+            dp = cand
+            break
+    if dp <= 1:
+        return None
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh = Mesh(np.asarray(devs[:dp]), ("dp",))
+    return NamedSharding(mesh, P("dp")), NamedSharding(mesh, P())
+
+
 class MVPipeline:
     """Holds the three model defs + their params and runs generation."""
 
@@ -262,6 +281,20 @@ class MVPipeline:
             self._sample_jit = sample_loop
             self._decode_jit = decode
 
+        # multi-chip: shard the (2·nv)-view batch over a dp mesh (the
+        # natural data-parallel axis of mv.py's 12-image batch); params
+        # replicate. GSPMD partitions the cached jitted loop — no separate
+        # multi-device implementation. Exercised by dryrun_multichip.
+        self.last_sample_dp = 1
+        shardings = _mv_batch_sharding(nv2)
+        if shardings is not None:
+            batch_s, repl_s = shardings
+            self.last_sample_dp = batch_s.mesh.shape["dp"]
+            params = jax.device_put(params, repl_s)
+            latents = jax.device_put(latents, batch_s)
+            cond_c = jax.device_put(cond_c, batch_s)
+            embeds_c = jax.device_put(embeds_c, batch_s)
+            cam_c = jax.device_put(cam_c, batch_s)
         latents = self._sample_jit(params, cond_c, embeds_c, cam_c,
                                    latents, key)
         images = np.asarray(self._decode_jit(self.params["vae"], latents))

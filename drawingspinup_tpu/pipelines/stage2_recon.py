@@ -366,6 +366,13 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
         start_step = latest
         print(f"[recon {uid}] resumed from step {latest}")
 
+    # multi-chip: rays data-parallel over all local devices (ICI dp axis) —
+    # the dryrun_multichip entry validates this exact production path
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from drawingspinup_tpu.train import nsr_parallel
+        print(f"[recon {uid}] data-parallel over {n_dev} devices")
+
     key = jax.random.PRNGKey(seed + 1)
     for _ in range(start_step):
         key, _k = jax.random.split(key)  # keep the key stream aligned
@@ -376,8 +383,13 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
         # graph (no gathers/scatters); recompiles once per unlock, amortized
         # by the persistent compilation cache
         n_active = cfg.sdf.grid.current_level(step)
-        state, logs = nsr.train_step(cfg, tx, state, data, k,
-                                     n_active=n_active)
+        if n_dev > 1:
+            dp_step = nsr_parallel.production_train_step(cfg, tx,
+                                                         n_active=n_active)
+            state, logs = dp_step(state, data, k)
+        else:
+            state, logs = nsr.train_step(cfg, tx, state, data, k,
+                                         n_active=n_active)
         if log_every and step % log_every == 0:
             print(f"[recon {uid}] step {step}: "
                   f"loss={float(logs['loss']):.4f} "
