@@ -13,8 +13,9 @@ encoding that XLA vectorizes as batched gathers:
     (reference ProgressiveBandHashGrid.update_step).
 
 The table lives as one (L, T, F) array so a single 2-axis gather serves all
-levels; a Pallas scatter-add backward is the planned optimization
-(kernels/hashgrid.py) — the JAX autodiff gather-transpose is correct today.
+levels; the JAX autodiff gather-transpose serves as the backward (a fused
+Pallas scatter variant measured SLOWER — see PERF_NOTES.md negative
+results; Mosaic on this toolchain also rejects arbitrary VMEM gathers).
 """
 from __future__ import annotations
 

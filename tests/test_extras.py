@@ -234,10 +234,12 @@ class TestSweep:
         uid_file.write_text(json.dumps(["a"]))
         attempts = []
 
+        from jax.errors import JaxRuntimeError
+
         def flaky(uid):
             attempts.append(uid)
             if len(attempts) == 1:
-                raise RuntimeError(
+                raise JaxRuntimeError(
                     "UNAVAILABLE: TPU worker process crashed or restarted.")
 
         res = sweep_mod.run_sweep(str(tmp_path), str(uid_file),
@@ -249,12 +251,31 @@ class TestSweep:
 
         def always_down(uid):
             attempts.append(uid)
-            raise RuntimeError("UNAVAILABLE: still down")
+            raise JaxRuntimeError("UNAVAILABLE: still down")
 
         res = sweep_mod.run_sweep(str(tmp_path), str(uid_file),
                                   {"s": always_down}, resume=False,
                                   log_path=str(tmp_path / "log2.jsonl"))
         assert res["failed"] == ["a"] and len(attempts) == 2
+
+    def test_application_error_mentioning_unavailable_not_retried(
+            self, tmp_path, monkeypatch):
+        """ADVICE r1: a non-runtime application error whose MESSAGE merely
+        contains 'UNAVAILABLE' must not trigger the device-loss retry."""
+        import drawingspinup_tpu.pipelines.sweep as sweep_mod
+        monkeypatch.setattr(sweep_mod.time, "sleep", lambda s: None)
+        uid_file = tmp_path / "uids.json"
+        uid_file.write_text(json.dumps(["a"]))
+        attempts = []
+
+        def app_error(uid):
+            attempts.append(uid)
+            raise ValueError("config key UNAVAILABLE in mapping")
+
+        res = sweep_mod.run_sweep(str(tmp_path), str(uid_file),
+                                  {"s": app_error}, resume=False,
+                                  log_path=str(tmp_path / "log3.jsonl"))
+        assert res["failed"] == ["a"] and len(attempts) == 1
 
     def test_sharding(self, tmp_path):
         from drawingspinup_tpu.pipelines.sweep import run_sweep
@@ -275,31 +296,6 @@ class TestMetrics:
         log.log(step=1, loss=jnp.asarray(0.5))
         rec = json.loads(p.read_text().splitlines()[0])
         assert rec["step"] == 1 and abs(rec["loss"] - 0.5) < 1e-6
-
-
-class TestFusedMLPKernel:
-    def test_matches_xla_interpret(self, rng):
-        """Pallas fused MLP ≡ the XLA formulation (interpret mode on CPU)."""
-        import jax
-        import jax.numpy as jnp
-        from jax.experimental import pallas as pl
-        import drawingspinup_tpu.kernels.fused_mlp as fm
-        x = jnp.asarray(rng.standard_normal((300, 23)).astype(np.float32))
-        w1 = jnp.asarray(rng.standard_normal((23, 64)).astype(np.float32) * .1)
-        b1 = jnp.asarray(rng.standard_normal((64,)).astype(np.float32) * .1)
-        w2 = jnp.asarray(rng.standard_normal((64, 13)).astype(np.float32) * .1)
-        b2 = jnp.zeros((13,))
-        ref = fm._forward_xla(x, w1, b1, w2, b2)
-        # run the pallas path in interpreter mode
-        orig = pl.pallas_call
-        import functools
-        try:
-            pl.pallas_call = functools.partial(orig, interpret=True)
-            out = fm._forward_pallas(x, w1, b1, w2, b2)
-        finally:
-            pl.pallas_call = orig
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=1e-4)
 
 
 class TestQualityMetrics:
