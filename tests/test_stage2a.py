@@ -223,3 +223,35 @@ class TestEndToEnd:
         img[8:24, 8:24] = [0.2, 0.4, 0.6]
         m = MV.background_removal(img)
         assert m[16, 16] == 1.0 and m[0, 0] == 0.0
+
+
+def test_mv_tiny_output_stability():
+    """Frozen tiny-weights fixture (VERDICT r1 #8): a seeded tiny pipeline's
+    sampled outputs must match the checked-in expectation — any structural
+    regression in the UNet/attention/DDIM path (e.g. a dropped transformer
+    block) shifts these values and fails here, without needing Wonder3D
+    weights. Regenerate tests/data/mv_tiny_expected.npz ONLY for an
+    intentional, reviewed model change."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from drawingspinup_tpu.models.unet_mv2d import UNetMVConfig
+    from drawingspinup_tpu.pipelines import stage2_mv as mv
+
+    cfg = mv.MVPipelineConfig(
+        unet=UNetMVConfig(block_out_channels=(32, 64, 64, 64),
+                          attention_heads=4, cross_attention_dim=32),
+        num_inference_steps=3, image_size=64, out_size=64,
+        compute_dtype="float32")
+    pipe = mv.MVPipeline.init_random(cfg, jax.random.PRNGKey(5))
+    img = np.random.default_rng(6).random((64, 64, 3)).astype(np.float32)
+    normals, colors = pipe(img, seed=0)
+
+    exp = np.load(os.path.join(os.path.dirname(__file__), "data",
+                               "mv_tiny_expected.npz"))
+    np.testing.assert_allclose(normals[:, ::8, ::8], exp["normals"],
+                               atol=2e-3)
+    np.testing.assert_allclose(colors[:, ::8, ::8], exp["colors"],
+                               atol=2e-3)
