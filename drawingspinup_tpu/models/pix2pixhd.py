@@ -108,24 +108,38 @@ def make_conv(kind: str, features: int, kernel: int = 3, stride: int = 1,
 
 
 class ResnetBlock(nn.Module):
-    """pix2pixhd.py:30-57 (3×3, reflect pad) and the 5×5 variant (:77-110)."""
+    """pix2pixhd.py:30-57 (3×3, reflect pad), the 5×5 variant (:77-110), and
+    the dilated form used by resnetblockdwdil specs (:112-141: reflect pad =
+    dilation·(k//2), conv dilation per branch)."""
 
     dim: int
     kernel: int = 3
     conv_kind: str = "default"
     norm: str = "bn"
+    dilation: int = 1
+    second_dilation: Optional[int] = None
+
+    def _conv(self, h, d: int, name: str):
+        p = d * (self.kernel // 2)
+        if self.conv_kind == "multidilated":
+            return make_conv(self.conv_kind, self.dim, self.kernel,
+                             name=name)(h)   # pads internally per branch
+        h = pad2d(h, p, "reflect")
+        if d == 1:
+            return make_conv(self.conv_kind, self.dim, self.kernel,
+                             name=name)(h)
+        w = self.param(f"{name}_kernel", nn.initializers.he_normal(),
+                       (self.kernel, self.kernel, h.shape[-1], self.dim))
+        b = self.param(f"{name}_bias", nn.initializers.zeros, (self.dim,))
+        return conv2d(h, w, b, dilation=d)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        p = self.kernel // 2
-        h = pad2d(x, p, "reflect")
-        h = make_conv(self.conv_kind, self.dim, self.kernel,
-                      name="conv1")(h)
+        d2 = self.second_dilation or self.dilation
+        h = self._conv(x, self.dilation, "conv1")
         h = norm_apply(self.norm, h, train, "norm1")
         h = jax.nn.relu(h)
-        h = pad2d(h, p, "reflect")
-        h = make_conv(self.conv_kind, self.dim, self.kernel,
-                      name="conv2")(h)
+        h = self._conv(h, d2, "conv2")
         h = norm_apply(self.norm, h, train, "norm2")
         return x + h
 
@@ -160,6 +174,16 @@ class _GlobalBase(nn.Module):
     out_act: str = "tanh"         # tanh | sigmoid | none
     deconv_kind: str = "convtranspose"  # convtranspose | bilinear
 
+    def _bottleneck(self, h, dim: int, train: bool):
+        for i in range(self.n_blocks):
+            if self.block_kind == "multidilated":
+                h = MultidilatedResnetBlock(dim, norm=self.norm,
+                                            name=f"block{i}")(h, train)
+            else:
+                h = ResnetBlock(dim, conv_kind=self.conv_kind,
+                                norm=self.norm, name=f"block{i}")(h, train)
+        return h
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.conv_kind == "multidilated":
@@ -177,13 +201,7 @@ class _GlobalBase(nn.Module):
             h = norm_apply(self.norm, h, train, f"down{i}_norm")
             h = jax.nn.relu(h)
         dim = self.ngf * 2 ** self.n_downsampling
-        for i in range(self.n_blocks):
-            if self.block_kind == "multidilated":
-                h = MultidilatedResnetBlock(dim, norm=self.norm,
-                                            name=f"block{i}")(h, train)
-            else:
-                h = ResnetBlock(dim, conv_kind=self.conv_kind,
-                                norm=self.norm, name=f"block{i}")(h, train)
+        h = self._bottleneck(h, dim, train)
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             out_ch = self.ngf * mult // 2
@@ -224,7 +242,64 @@ class MultiDilatedGlobalGenerator(_GlobalBase):
 
 
 class ConfigGlobalGenerator(_GlobalBase):
-    """pix2pixhd.py:239-326 — conv/block kinds configured per instance."""
+    """pix2pixhd.py:239-326 — the per-instance bottleneck SCHEDULE parser:
+    ``manual_block_spec`` is a sequence of spec mappings, each selecting its
+    own block kind / conv kind / dilation / count for a run of blocks
+    (reference make_and_add_blocks, :292-315). An empty spec falls back to
+    ``n_blocks`` of the instance defaults (:282-287: use_default). A spec
+    entry may carry:
+      n_blocks            — number of blocks in this run (required)
+      use_default         — ignore the entry's own kind fields (:294)
+      resnet_block_kind   — multidilatedresnetblock | resnetblock |
+                            resnetblock5x5 | resnetblockdwdil
+      resnet_conv_kind    — conv ctor for the blocks (default | depthwise |
+                            multidilated)
+      resnet_dilation     — dilation for resnetblockdwdil runs
+    """
+
+    manual_block_spec: Tuple = ()
+    resnet_block_kind: str = "multidilatedresnetblock"
+    resnet_conv_kind: str = "multidilated"
+    resnet_dilation: int = 1
+
+    def _bottleneck(self, h, dim: int, train: bool):
+        specs = [dict(s) for s in self.manual_block_spec] or [
+            {"n_blocks": self.n_blocks, "use_default": True}]
+        idx = 0
+        for spec in specs:
+            if spec.get("use_default"):
+                block_kind = self.resnet_block_kind
+                conv_kind = self.resnet_conv_kind
+                dilation = self.resnet_dilation
+            else:
+                block_kind = spec.get("resnet_block_kind",
+                                      self.resnet_block_kind)
+                conv_kind = spec.get("resnet_conv_kind",
+                                     self.resnet_conv_kind)
+                dilation = spec.get("resnet_dilation", self.resnet_dilation)
+                if dilation is None:
+                    dilation = self.resnet_dilation
+            for _ in range(int(spec["n_blocks"])):
+                name = f"block{idx}"
+                if block_kind == "multidilatedresnetblock":
+                    h = MultidilatedResnetBlock(dim, norm=self.norm,
+                                                name=name)(h, train)
+                elif block_kind == "resnetblock":
+                    h = ResnetBlock(dim, conv_kind=conv_kind, norm=self.norm,
+                                    name=name)(h, train)
+                elif block_kind == "resnetblock5x5":
+                    h = ResnetBlock(dim, kernel=5, conv_kind=conv_kind,
+                                    norm=self.norm, name=name)(h, train)
+                elif block_kind == "resnetblockdwdil":
+                    h = ResnetBlock(dim, conv_kind=conv_kind, norm=self.norm,
+                                    dilation=dilation,
+                                    second_dilation=dilation,
+                                    name=name)(h, train)
+                else:
+                    raise ValueError(
+                        f"unknown resnet_block_kind {block_kind!r}")
+                idx += 1
+        return h
 
 
 class GlobalGeneratorFromSuperChannels(nn.Module):

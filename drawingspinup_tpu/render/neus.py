@@ -68,7 +68,12 @@ def sample_pdf(key: Optional[jax.Array], t_mid: jnp.ndarray,
     if randomized and key is not None:
         u = u + (jax.random.uniform(key, u.shape) - 0.5) / n
         u = jnp.clip(u, 0.0, 1.0 - 1e-6)
-    idx = jax.vmap(jnp.searchsorted)(cdf, u)             # (R, n) in [1, S]
+    # index = #(cdf entries ≤ u): a (R, S+1, n) comparison-count instead of
+    # vmapped searchsorted — bit-identical and 2.2× faster on TPU (16.4 →
+    # 7.5 ms at production shapes; binary search is serial per element while
+    # the count is one VPU reduction, PERF_NOTES.md round 2)
+    idx = jnp.sum((cdf[..., :, None] <= u[..., None, :]).astype(jnp.int32),
+                  axis=-2)                               # (R, n) in [1, S+1]
     idx = jnp.clip(idx, 1, t_mid.shape[-1])
     below = idx - 1
     above = jnp.minimum(idx, t_mid.shape[-1] - 1)

@@ -40,6 +40,40 @@ class TestPix2PixHD:
         y = g.apply(g.init(jax.random.PRNGKey(0), x), x)
         assert y.shape == (1, 16, 16, 3)
 
+    def test_config_generator_schedule(self, rng):
+        """ConfigGlobalGenerator parses a per-instance manual_block_spec
+        (reference pix2pixhd.py:239-326): mixed block kinds, per-run conv
+        kind and dilation, default fallback."""
+        from drawingspinup_tpu.models.pix2pixhd import ConfigGlobalGenerator
+        spec = (
+            {"n_blocks": 1, "resnet_block_kind": "multidilatedresnetblock"},
+            {"n_blocks": 1, "resnet_block_kind": "resnetblock",
+             "resnet_conv_kind": "default"},
+            {"n_blocks": 1, "resnet_block_kind": "resnetblock5x5",
+             "resnet_conv_kind": "default"},
+            {"n_blocks": 1, "resnet_block_kind": "resnetblockdwdil",
+             "resnet_conv_kind": "default", "resnet_dilation": 2},
+        )
+        g = ConfigGlobalGenerator(output_nc=3, ngf=8, n_downsampling=2,
+                                  manual_block_spec=spec)
+        x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+        v = g.init(jax.random.PRNGKey(0), x)
+        y = g.apply(v, x)
+        assert y.shape == (1, 32, 32, 3)
+        p = v["params"]
+        # block 0 multidilated: branch kernels; block 1 plain 3×3;
+        # block 2 5×5; block 3 dilated (raw dilated kernel params)
+        assert "kernel0" in p["block0"]["conv1"]
+        assert p["block1"]["conv1"]["kernel"].shape[0] == 3
+        assert p["block2"]["conv1"]["kernel"].shape[0] == 5
+        assert "conv1_kernel" in p["block3"]
+
+        # empty spec → n_blocks of the instance defaults
+        g2 = ConfigGlobalGenerator(output_nc=3, ngf=8, n_downsampling=2,
+                                   n_blocks=2)
+        v2 = g2.init(jax.random.PRNGKey(0), x)
+        assert "block1" in v2["params"] and "block2" not in v2["params"]
+
     def test_nlayer_discriminators(self, rng):
         from drawingspinup_tpu.models.pix2pixhd import (
             MultidilatedNLayerDiscriminator, NLayerDiscriminator,
