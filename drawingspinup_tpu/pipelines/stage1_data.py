@@ -29,11 +29,53 @@ N_CONTOUR_VARIANTS = 6
 
 
 def contour_band(mask: np.ndarray, thickness: int) -> np.ndarray:
-    """External-contour band of a binary mask (Freestyle-outline stand-in):
+    """External-contour band of a binary mask (hard, uniform width):
     pixels of the mask within ``thickness`` of the outside."""
     m = mask > 0.5
     er = ndimage.binary_erosion(m, iterations=max(int(thickness), 1))
     return (m & ~er).astype(np.float32)
+
+
+def _smooth_noise(shape, rng: np.random.Generator, cells: int = 12
+                  ) -> np.ndarray:
+    """Low-frequency noise in [0,1]: coarse random grid, bicubic upsample."""
+    from PIL import Image
+    g = rng.random((cells, cells)).astype(np.float32)
+    img = Image.fromarray((g * 255).astype(np.uint8))
+    up = img.resize((shape[1], shape[0]), Image.BICUBIC)
+    return np.asarray(up, np.float32) / 255.0
+
+
+def freestyle_contour(mask: np.ndarray, thickness: int,
+                      rng: np.random.Generator) -> np.ndarray:
+    """Freestyle-like external contour (reference
+    bicar_render_codes/blenderProc_ortho.py:166-185: thickness_position
+    INSIDE, ROUND caps, SKETCHY chaining): a soft-alpha stroke inside the
+    silhouette whose width wobbles along the boundary and which may carry
+    sketchy gaps.
+
+      * width wobble — the per-pixel width target is thickness scaled by a
+        low-frequency noise field (±35%), standing in for SKETCHY chaining's
+        stroke-width variation;
+      * soft alpha — the inner stroke edge feathers over ~1.5 px (SVG
+        rasterization antialiasing); the outer edge is the silhouette;
+      * partial strokes — with probability 0.5 the stroke is multiplied by
+        a thresholded noise field, opening gaps over ~10-25% of its length
+        (SKETCHY chaining drops segments).
+
+    Returns a float32 alpha map in [0, 1]; callers threshold > 0 for the gt
+    mask exactly as aug.py's CM_np > 0 does with the rasterized SVG."""
+    m = mask > 0.5
+    # distance (px) from the outside region — stroke depth coordinate
+    dt = ndimage.distance_transform_edt(m).astype(np.float32)
+    wobble = 1.0 + 0.7 * (_smooth_noise(mask.shape, rng) - 0.5)
+    width = np.maximum(thickness * wobble, 1.0)
+    alpha = np.clip((width - dt) / 1.5 + 1.0, 0.0, 1.0) * m
+    if rng.random() > 0.5:
+        gaps = _smooth_noise(mask.shape, rng, cells=16)
+        thresh = rng.uniform(0.1, 0.25)
+        alpha = alpha * (gaps > thresh)
+    return alpha.astype(np.float32)
 
 
 def synth_training_pair(rgba: np.ndarray, contour: np.ndarray,

@@ -9,8 +9,10 @@ external-contour SVGs of random thickness (:159-185).
 
 Here: native z-buffer rasterization (native/raster.cc) of the normalized
 mesh under the same camera model, RGBA from vertex colors, and 6
-external-contour PNGs of random thickness derived from the coverage mask —
-a process pool is unnecessary (each object renders in milliseconds).
+Freestyle-like external-contour PNGs (soft alpha, width wobble, sketchy
+gaps — stage1_data.freestyle_contour) on the reference's k·5+1+rand(5)
+thickness ladder — a process pool is unnecessary (each object renders in
+milliseconds).
 """
 from __future__ import annotations
 
@@ -23,7 +25,7 @@ import numpy as np
 from drawingspinup_tpu import native
 from drawingspinup_tpu.core.io import read_obj, write_image
 from drawingspinup_tpu.pipelines.stage1_data import (
-    N_CONTOUR_VARIANTS, contour_band,
+    N_CONTOUR_VARIANTS, freestyle_contour,
 )
 
 ORTHO_SCALE = 1.35
@@ -75,9 +77,11 @@ def render_object(obj_path: str, out_dir: str,
 
     mask = hit.astype(np.float32)
     for k in range(N_CONTOUR_VARIANTS):
-        t = int(rng.integers(1, 7))
+        # reference thickness ladder: variant k gets k·5+1+rand(5) px
+        # (blenderProc_ortho.py:182-183), so the 6 variants span 1-30 px
+        t = int(k * 5 + 1 + rng.integers(0, 5))
         write_image(os.path.join(out_dir, f"contour_{k}.png"),
-                    contour_band(mask, t))
+                    freestyle_contour(mask, t, rng))
 
 
 def batch_render(obj_root: str, out_root: str, uid_json: str,

@@ -361,3 +361,37 @@ class TestQualityMetrics:
         out = compare_stage_outputs(str(tmp_path / "a"), str(tmp_path / "b"))
         assert out["x.png"]["psnr"] > 40
         assert out["only_a.png"]["missing"]
+
+
+class TestFreestyleContour:
+    def test_properties(self):
+        """freestyle_contour: soft alpha in [0,1], confined to the mask's
+        inside rim, wider thickness → more covered pixels, gaps possible."""
+        from drawingspinup_tpu.pipelines.stage1_data import (
+            contour_band, freestyle_contour)
+        size = 96
+        yy, xx = np.mgrid[0:size, 0:size]
+        mask = (np.hypot(yy - 48, xx - 48) < 36).astype(np.float32)
+        rng = np.random.default_rng(0)
+        thin = freestyle_contour(mask, 2, rng)
+        thick = freestyle_contour(mask, 10, rng)
+        for band in (thin, thick):
+            assert band.dtype == np.float32
+            assert 0.0 <= band.min() and band.max() <= 1.0
+            assert (band[mask == 0] == 0).all()      # INSIDE the silhouette
+        assert (thick > 0).sum() > (thin > 0).sum() * 2
+        # soft alpha: fractional values exist (not a hard band)
+        assert ((thick > 0) & (thick < 1)).any()
+        # hard band stays available
+        hb = contour_band(mask, 3)
+        assert set(np.unique(hb)) <= {0.0, 1.0}
+
+    def test_variants_differ(self):
+        from drawingspinup_tpu.pipelines.stage1_data import freestyle_contour
+        size = 64
+        yy, xx = np.mgrid[0:size, 0:size]
+        mask = (np.hypot(yy - 32, xx - 32) < 24).astype(np.float32)
+        rng = np.random.default_rng(1)
+        a = freestyle_contour(mask, 5, rng)
+        b = freestyle_contour(mask, 5, rng)
+        assert np.abs(a - b).max() > 0.1   # stochastic wobble/gaps
