@@ -40,10 +40,15 @@ def main(argv=None) -> int:
     geo = cfg.get("model", Config()).get("geometry", Config())
     iso = geo.get("isosurface", Config())
 
+    # multi-uid: overlap each uid's host-side mesh tail (carve/march/remesh/
+    # save, ~25-40 s) with the next uid's device training
+    from concurrent.futures import Future, ThreadPoolExecutor
+    executor = ThreadPoolExecutor(max_workers=1) if len(uids) > 1 else None
+
     written = []
     for uid in uids:
         out = stage2_recon.recon_uid(
-            root, uid, nsr_cfg,
+            root, uid, nsr_cfg, tail_executor=executor,
             mc_resolution=iso.get("resolution", 512),
             face_count=geo.get("face_count", 50000),
             thinning=bool(exp.get("thinning", True)) and uid in thinning_uids,
@@ -58,8 +63,21 @@ def main(argv=None) -> int:
             export_uv=exp.get("export_uv", False),
         )
         written.append(out)
-    print(json.dumps({"written": written}))
-    return 0
+    paths, failed = [], []
+    for uid, out in zip(uids, written):
+        if isinstance(out, Future):
+            try:
+                paths.append(out.result())
+            except Exception as e:  # per-uid isolation like the sweep
+                failed.append(uid)
+                print(f"[recon {uid}] export tail FAILED: {e}")
+        else:
+            paths.append(out)
+    if executor is not None:
+        executor.shutdown(wait=True)
+    print(json.dumps({"written": paths, **({"failed": failed} if failed
+                                           else {})}))
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -263,20 +263,14 @@ def eval_sdf_grid_sparse(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
     return grid
 
 
-def isosurface(cfg: nsr.NSRConfig, params, resolution: int = 512,
-               front_mask: Optional[np.ndarray] = None,
-               face_count: int = 50000, remeshing: bool = True,
-               step: int = 10 ** 9, sparse: Optional[bool] = None
-               ) -> Tuple[np.ndarray, np.ndarray]:
-    """Two-pass (coarse → bbox → fine) extraction with optional front-mask
-    carving, smoothing of the binary field, and quadric remesh.
-
-    step: progressive-band state for the mask — pass the FINAL TRAINING step
-    so hash levels never unlocked during training stay masked at export
-    (reference ProgressiveBandHashGrid keeps its mask at test time; an
-    all-ones mask would leak init noise from untrained tables)."""
+def isosurface_level(cfg: nsr.NSRConfig, params, resolution: int = 512,
+                     step: int = 10 ** 9, sparse: Optional[bool] = None
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The DEVICE half of the export: coarse pass → bbox → fine SDF grid.
+    Returns (level (R³ float32), vmin, vmax). The remaining work
+    (carve/march/remesh, ``isosurface_from_level``) is host-only, so a
+    sweep can overlap it with the next uid's training."""
     r = cfg.radius
-    # coarse pass at a reduced resolution — only the bbox matters
     coarse_res = min(resolution, 128)
     level = eval_sdf_grid(cfg, params, np.array([-r] * 3), np.array([r] * 3),
                           coarse_res, step=step)
@@ -294,6 +288,16 @@ def isosurface(cfg: nsr.NSRConfig, params, resolution: int = 512,
                                      step=step)
     else:
         level = eval_sdf_grid(cfg, params, vmin, vmax, resolution, step=step)
+    return level, vmin, vmax
+
+
+def isosurface_from_level(level: np.ndarray, vmin: np.ndarray,
+                          vmax: np.ndarray, resolution: int,
+                          front_mask: Optional[np.ndarray] = None,
+                          face_count: int = 50000, remeshing: bool = True
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host half: front-mask carving, binary smoothing + marching
+    tetrahedra, quadric remesh."""
     binary = (level <= 0)
     if front_mask is not None:
         size = front_mask.shape[0] / 2
@@ -315,6 +319,24 @@ def isosurface(cfg: nsr.NSRConfig, params, resolution: int = 512,
     if remeshing and len(faces) > face_count:
         verts, faces = mesh_post.remesh(verts, faces, face_count)
     return verts, faces
+
+
+def isosurface(cfg: nsr.NSRConfig, params, resolution: int = 512,
+               front_mask: Optional[np.ndarray] = None,
+               face_count: int = 50000, remeshing: bool = True,
+               step: int = 10 ** 9, sparse: Optional[bool] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Two-pass (coarse → bbox → fine) extraction with optional front-mask
+    carving, smoothing of the binary field, and quadric remesh.
+
+    step: progressive-band state for the mask — pass the FINAL TRAINING step
+    so hash levels never unlocked during training stay masked at export
+    (reference ProgressiveBandHashGrid keeps its mask at test time; an
+    all-ones mask would leak init noise from untrained tables)."""
+    level, vmin, vmax = isosurface_level(cfg, params, resolution, step,
+                                         sparse)
+    return isosurface_from_level(level, vmin, vmax, resolution, front_mask,
+                                 face_count, remeshing)
 
 
 # ---------------------------------------------------------------------------
@@ -345,8 +367,15 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
               color_back_projection: bool = True, ortho_scale: float = 1.35,
               front_cutting: bool = True, seed: int = 123456,
               im_size: int = 1024, log_every: int = 100,
-              export_uv: bool = False) -> str:
-    """Train NeuS on one uid's mv/ set and export the post-processed mesh."""
+              export_uv: bool = False, tail_executor=None) -> str:
+    """Train NeuS on one uid's mv/ set and export the post-processed mesh.
+
+    tail_executor: optional concurrent.futures.Executor. The export's host
+    half (carve/march/remesh/save_mesh, ~25-40 s) has no device work when
+    color_back_projection is on, so a multi-uid caller can hand in a
+    single-worker executor and overlap it with the NEXT uid's training
+    (the training loop is RPC-wait, not CPU) — a Future[str] is returned
+    instead of the path. cli/recon.py does this in multi-uid mode."""
     paths = UidPaths(root, uid)
     data = load_ortho_data(paths, im_size=im_size)
     front_mask = load_front_mask(paths)
@@ -399,27 +428,10 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
     if cfg.max_steps > start_step:
         ckpt.save(ckpt.step_path(ckpt_root, cfg.max_steps), state)
 
-    verts, faces = isosurface(
-        cfg, state.params, resolution=mc_resolution,
-        front_mask=front_mask if front_cutting else None,
-        face_count=face_count, step=cfg.max_steps)
-
-    # colors for the non-backprojection path: albedo from the radiance field
-    vert_colors = None
-    if not color_back_projection:
-        from drawingspinup_tpu.models.fields import (
-            radiance_forward, sdf_with_grad,
-        )
-        # band mask frozen at the final training step (untrained levels stay
-        # masked — reference keeps ProgressiveBandHashGrid's mask at test)
-        level_mask = progressive_mask(cfg.sdf.grid,
-                                      jnp.asarray(cfg.max_steps))
-        sdf, grad, feat = sdf_with_grad(cfg.sdf, state.params["geometry"],
-                                        jnp.asarray(verts), 1e-3, level_mask)
-        n = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1, keepdims=True),
-                               1e-9)
-        vert_colors = np.asarray(radiance_forward(
-            cfg.radiance, state.params["texture"], feat, -n, n))
+    # device half of the export: fine SDF grid (sparse surface-band)
+    level, vmin, vmax = isosurface_level(cfg, state.params,
+                                         resolution=mc_resolution,
+                                         step=cfg.max_steps)
 
     front_color = read_image(paths.mv("color", "front"))[..., :3] \
         if color_back_projection else None
@@ -432,16 +444,45 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
                        front_cutting, True, thinning, smoothing,
                        color_back_projection)
     out_path = os.path.join(paths.mesh_dir, name + ".obj")
-    mesh_post.save_mesh(
-        out_path, verts, faces, vert_colors=vert_colors,
-        front_mask=drawing_mask, front_color=front_color,
-        back_color=back_color, thinning=thinning,
-        thinning_type=thinning_type, smoothing=smoothing,
-        color_back_projection=color_back_projection, shearing=shearing,
-        ortho_scale=ortho_scale, export_uv=export_uv)
-    print(f"[recon {uid}] trained {cfg.max_steps} steps in {train_time:.1f}s "
-          f"→ {out_path}")
-    return out_path
+
+    def host_tail() -> str:
+        verts, faces = isosurface_from_level(
+            level, vmin, vmax, mc_resolution,
+            front_mask=front_mask if front_cutting else None,
+            face_count=face_count)
+        # colors for the non-backprojection path: albedo from the radiance
+        # field (device eval — this branch never runs deferred)
+        vert_colors = None
+        if not color_back_projection:
+            from drawingspinup_tpu.models.fields import (
+                radiance_forward, sdf_with_grad,
+            )
+            # band mask frozen at the final training step (untrained levels
+            # stay masked — reference keeps ProgressiveBandHashGrid's mask
+            # at test)
+            level_mask = progressive_mask(cfg.sdf.grid,
+                                          jnp.asarray(cfg.max_steps))
+            sdf, grad, feat = sdf_with_grad(
+                cfg.sdf, state.params["geometry"], jnp.asarray(verts), 1e-3,
+                level_mask)
+            n = grad / jnp.maximum(
+                jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
+            vert_colors = np.asarray(radiance_forward(
+                cfg.radiance, state.params["texture"], feat, -n, n))
+        mesh_post.save_mesh(
+            out_path, verts, faces, vert_colors=vert_colors,
+            front_mask=drawing_mask, front_color=front_color,
+            back_color=back_color, thinning=thinning,
+            thinning_type=thinning_type, smoothing=smoothing,
+            color_back_projection=color_back_projection, shearing=shearing,
+            ortho_scale=ortho_scale, export_uv=export_uv)
+        print(f"[recon {uid}] trained {cfg.max_steps} steps in "
+              f"{train_time:.1f}s → {out_path}")
+        return out_path
+
+    if tail_executor is not None and color_back_projection:
+        return tail_executor.submit(host_tail)
+    return host_tail()
 
 
 def nsr_config_from_yaml(cfg: Config) -> nsr.NSRConfig:

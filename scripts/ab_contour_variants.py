@@ -9,9 +9,9 @@ Run: python scripts/ab_contour_variants.py  (CPU-safe, ~2 min)
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"   # ambient env pins axon; force CPU
 import jax
-jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 from scipy import ndimage
