@@ -206,11 +206,20 @@ def train_stage(root: str, uid: str, stage: int, use_mask: bool = True,
     total = cfg.epochs * batches_per_epoch
     if max_batches is not None:
         total = min(total, max_batches)
+    # multi-chip: patch batch data-parallel (same entry the dryrun runs)
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from drawingspinup_tpu.train import gan_parallel
+        dp_step = gan_parallel.production_train_step(cfg)
+        print(f"[stage{stage} {uid}] patch-dp over {n_dev} devices")
     key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
     for b in range(total):
         key, k = jax.random.split(key)
-        state, logs = gan.train_step(cfg, state, data, k)
+        if n_dev > 1:
+            state, logs = dp_step(state, data, k)
+        else:
+            state, logs = gan.train_step(cfg, state, data, k)
         if (b + 1) % cfg.log_interval == 0:
             print(f"[stage{stage} {uid}] batch {b + 1}/{total} "
                   f"g={float(logs['g_loss']):.4f} "
