@@ -227,6 +227,64 @@ def convert_discriminator_n(state_dict: Mapping[str, Any],
                            strict)
 
 
+def global_generator_key_map(n_downsampling: int = 3, n_blocks: int = 9):
+    """(torch key → flax path) for the pix2pixHD GlobalGenerator
+    (1_lama_contour_remover/saicinpainting/training/modules/pix2pixhd.py:
+    341-436, default conv_kind) onto models/pix2pixhd.py::GlobalGenerator.
+
+    torch Sequential layout: 0 pad, 1 conv7, 2 bn, 3 act, then per
+    downsample [conv, bn, act], then n_blocks ResnetBlock (conv_block
+    Sequential: 0 pad, 1 conv, 2 bn, 3 act, 4 pad, 5 conv, 6 bn), then per
+    upsample [convT, bn, act], then pad + conv head (+ out act)."""
+    entries = []
+    entries.append(("model.1.weight", ("conv_in", "kernel"), None, _conv_w))
+    entries.append(("model.1.bias", ("conv_in", "bias"), None, np.asarray))
+    entries.extend(_bn_at(("norm_in",), "model.2"))
+    idx = 4
+    for i in range(n_downsampling):
+        entries.append((f"model.{idx}.weight", (f"down{i}", "kernel"),
+                        None, _conv_w))
+        entries.append((f"model.{idx}.bias", (f"down{i}", "bias"),
+                        None, np.asarray))
+        entries.extend(_bn_at((f"down{i}_norm",), f"model.{idx + 1}"))
+        idx += 3
+    for i in range(n_blocks):
+        tp = f"model.{idx}.conv_block"
+        entries.append((tp + ".1.weight", (f"block{i}", "conv1", "kernel"),
+                        None, _conv_w))
+        entries.append((tp + ".1.bias", (f"block{i}", "conv1", "bias"),
+                        None, np.asarray))
+        entries.extend(_bn_at((f"block{i}", "norm1"), tp + ".2"))
+        entries.append((tp + ".5.weight", (f"block{i}", "conv2", "kernel"),
+                        None, _conv_w))
+        entries.append((tp + ".5.bias", (f"block{i}", "conv2", "bias"),
+                        None, np.asarray))
+        entries.extend(_bn_at((f"block{i}", "norm2"), tp + ".6"))
+        idx += 1
+    for j in range(n_downsampling):
+        entries.append((f"model.{idx}.weight", (f"up{j}_kernel",),
+                        None, _convt_w))
+        entries.append((f"model.{idx}.bias", (f"up{j}_bias",),
+                        None, np.asarray))
+        entries.extend(_bn_at((f"up{j}_norm",), f"model.{idx + 1}"))
+        idx += 3
+    idx += 1  # ReflectionPad
+    entries.append((f"model.{idx}.weight", ("conv_out_kernel",),
+                    None, _conv_w))
+    entries.append((f"model.{idx}.bias", ("conv_out_bias",),
+                    None, np.asarray))
+    return entries
+
+
+def convert_global_generator(state_dict: Mapping[str, Any],
+                             n_downsampling: int = 3, n_blocks: int = 9,
+                             strict: bool = True) -> Dict[str, Dict]:
+    sd = {k: v for k, v in state_dict.items()
+          if not k.endswith("num_batches_tracked")}
+    return _convert_by_map(
+        global_generator_key_map(n_downsampling, n_blocks), sd, strict)
+
+
 def vgg19_features_to_npz(state_dict: Mapping[str, Any], npz_path: str,
                           max_index: int = 7) -> None:
     """Save a torchvision-style ``features.N.{weight,bias}`` state_dict (or a

@@ -336,3 +336,50 @@ class TestNeusLossOracle:
                                  extra_weights=jnp.asarray(vw),
                                  reduction="sum"))
         assert abs(got - want) < 1e-6
+
+
+class TestGlobalGeneratorParity:
+    """pix2pixHD GlobalGenerator (the lama-regular.yaml backbone,
+    pix2pixhd.py:341-436) — importable offline (torch-only imports)."""
+
+    def _ref(self):
+        oracle._stub_kornia()
+        import sys
+        if str(oracle.STAGE1) not in sys.path:
+            sys.path.insert(0, str(oracle.STAGE1))
+        from saicinpainting.training.modules import pix2pixhd as ref
+        return ref
+
+    def test_forward_parity(self):
+        ref = self._ref()
+        tm = ref.GlobalGenerator(input_nc=4, output_nc=1, ngf=16,
+                                 n_downsampling=2, n_blocks=3,
+                                 add_out_act="sigmoid")
+        _randomize_(tm, seed=19)
+        tm.eval()
+        rng = np.random.default_rng(12)
+        x = rng.standard_normal((1, 4, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+
+        from drawingspinup_tpu.models.pix2pixhd import GlobalGenerator
+        fm = GlobalGenerator(output_nc=1, ngf=16, n_downsampling=2,
+                             n_blocks=3, out_act="sigmoid")
+        variables = torch_port.convert_global_generator(
+            _to_numpy_sd(tm), n_downsampling=2, n_blocks=3)
+        got = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       train=False)
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        assert got.shape == want.shape
+        err = np.abs(got - want).max()
+        assert err < 1e-4, f"GlobalGenerator parity error {err}"
+
+    def test_port_covers_all_torch_params(self):
+        ref = self._ref()
+        tm = ref.GlobalGenerator(input_nc=4, output_nc=1, ngf=16,
+                                 n_downsampling=2, n_blocks=3)
+        sd_keys = {k for k in tm.state_dict()
+                   if not k.endswith("num_batches_tracked")}
+        mapped = {e[0] for e in torch_port.global_generator_key_map(2, 3)}
+        missing = sd_keys - mapped
+        assert not missing, f"unmapped torch keys: {sorted(missing)[:10]}"
