@@ -40,8 +40,11 @@ def bench_ffc() -> float:
     batch = 4
     model = FFCResNetGenerator()
     x = jnp.zeros((batch, 512, 512, 4), jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 512, 512, 4), jnp.bfloat16))
+    # jitted init at a SMALL spatial size: the net is fully convolutional
+    # (param shapes don't depend on H/W) and eager 512² init dispatches
+    # op-by-op through the tunnel for ~8 min (PERF_NOTES.md)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 4), jnp.bfloat16))
 
     @jax.jit
     def forward(v, x):
