@@ -14,17 +14,31 @@ import os
 
 
 def main(argv=None) -> int:
-    from drawingspinup_tpu.core import jax_setup
-    jax_setup.setup()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--root", required=True)
     ap.add_argument("--uids", required=True)
     ap.add_argument("--stages",
                     default="stage1,mv,recon,render,train_style,gif")
     ap.add_argument("--shard", default="0/1", help="index/num_shards")
+    ap.add_argument("--pin-chip", type=int, default=None,
+                    help="restrict this process to ONE local TPU chip "
+                         "(sets TPU_VISIBLE_CHIPS before backend init). "
+                         "The v5e-8 production pattern is 8 sweep "
+                         "processes, --pin-chip k --shard k/8: uids are "
+                         "embarrassingly parallel and per-uid training "
+                         "at the reference ray budget underfills a "
+                         "multi-chip dp mesh (256 rays/device at dp=8).")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--recon-overrides", nargs="*", default=[])
     args = ap.parse_args(argv)
+
+    if args.pin_chip is not None:
+        # must happen BEFORE the backend initializes
+        os.environ["TPU_VISIBLE_CHIPS"] = str(args.pin_chip)
+        os.environ["TPU_PROCESS_BOUNDS"] = "1,1,1"
+        os.environ["TPU_CHIPS_PER_PROCESS_BOUNDS"] = "1,1,1"
+    from drawingspinup_tpu.core import jax_setup
+    jax_setup.setup()
 
     shard_index, num_shards = (int(x) for x in args.shard.split("/"))
     stages = args.stages.split(",")
