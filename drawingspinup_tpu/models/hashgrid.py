@@ -49,6 +49,12 @@ class HashGridConfig:
     # widened cotangent back automatically. Math identical; on v5e the
     # per-corner scatters were 172 ms of a 440 ms step (8 scatter ops ×
     # 6 levels, cost per-index) — see PERF_NOTES.md.
+    # BOUNDARY-GRADIENT NOTE (ADVICE r1): at clamped coordinates (px == 1,
+    # i.e. points outside/on the AABB faces after contract()) the wide path
+    # yields a one-sided spatial slope where the per-corner path yielded 0.
+    # Arguably the more correct derivative; the production-config 600-step
+    # convergence A/B (scripts/convergence_ab_cellrows.py) ran WITH this
+    # default and matched per-corner convergence within noise.
     dense_cell_rows: bool = True
     # Levels whose full grid fits in this many rows store DENSE even when
     # that exceeds table_size (tcnn would hash them): a dense level costs
