@@ -160,6 +160,14 @@ def main():
     root = args.root
     os.makedirs(root, exist_ok=True)
     uids = [UID] + ([UID + "_2"] if args.marginal else [])
+    # resume contamination guard: recon auto-resumes from per-uid
+    # checkpoints, so a reused root reports a ~0-step "recon" time
+    for uid in uids:
+        ck = os.path.join(root, uid, "mesh", "ckpt")
+        if not args.skip_recon and os.path.isdir(ck):
+            print(f"WARNING: {ck} exists — recon will RESUME and the "
+                  "timing is NOT a cold/marginal number. Use a fresh "
+                  "--root.", flush=True)
     for uid in uids:
         make_drawing(root, uid)
     uid_file = os.path.join(root, "uids.json")
