@@ -383,3 +383,34 @@ class TestGlobalGeneratorParity:
         mapped = {e[0] for e in torch_port.global_generator_key_map(2, 3)}
         missing = sd_keys - mapped
         assert not missing, f"unmapped torch keys: {sorted(missing)[:10]}"
+
+
+class TestRICOffsetFieldParity:
+    def test_sample_positions_match_reference_offsets(self, monkeypatch):
+        """The rotation-invariant conv's sampling positions must equal the
+        reference's deform_conv2d offset field (models.py:551-604
+        generate_coordinates): absolute tap position = base + default 3×3
+        tap + stored offset. Channels 8/9 are the (untouched) center tap."""
+        m = oracle.import_reference_stage3_models()
+        monkeypatch.setattr(torch.Tensor, "cuda", lambda self: self,
+                            raising=False)
+        H = W = 17
+        coords = m.generate_coordinates(1, H, W)  # (1, 18, H, W)
+        off = coords[0].detach().numpy().transpose(1, 2, 0)  # (H, W, 18)
+
+        # channel pair → 3×3 kernel tap (row-major), per the reference's
+        # deform_conv2d layout: pairs 0..3 are taps 0..3, pair (8,9) is the
+        # center (tap 4), pairs 5..8 (ch 10..17) are taps 5..8
+        base_r, base_c = np.mgrid[0:H, 0:W].astype(np.float64)
+        default = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+                   (1, -1), (1, 0), (1, 1)]
+        ref_pos = np.zeros((H, W, 9, 2))
+        for tap in range(9):
+            dr, dc = default[tap]
+            ref_pos[:, :, tap, 0] = base_r + dr + off[:, :, 2 * tap]
+            ref_pos[:, :, tap, 1] = base_c + dc + off[:, :, 2 * tap + 1]
+
+        from drawingspinup_tpu.models.generator_j import ric_sample_positions
+        ours = ric_sample_positions(H, W)
+        err = np.abs(ours - ref_pos).max()
+        assert err < 1e-3, f"RIC offset-field parity error {err}"
