@@ -395,3 +395,30 @@ class TestFreestyleContour:
         a = freestyle_contour(mask, 5, rng)
         b = freestyle_contour(mask, 5, rng)
         assert np.abs(a - b).max() > 0.1   # stochastic wobble/gaps
+
+
+def test_fidelity_cli(tmp_path):
+    """cli/fidelity compares two per-uid trees stage by stage (the LPIPS
+    parity bar becomes one command once reference outputs exist)."""
+    import numpy as np
+
+    from drawingspinup_tpu.cli import fidelity
+    from drawingspinup_tpu.core import UidPaths
+    from drawingspinup_tpu.core.io import write_image
+
+    rng = np.random.default_rng(0)
+    img = rng.random((16, 16, 3)).astype(np.float32)
+    for side in ("ours", "theirs"):
+        p = UidPaths(str(tmp_path / side), "u1")
+        write_image(os.path.join(p.char_dir, "ffc_resnet_inpainted.png"), img)
+        write_image(os.path.join(p.mv_dir, "color", "front.png"),
+                    img if side == "ours"
+                    else np.clip(img + 0.1, 0, 1))
+    out = tmp_path / "report.json"
+    rc = fidelity.main(["--ours", str(tmp_path / "ours"),
+                        "--theirs", str(tmp_path / "theirs"),
+                        "--uid", "u1", "--out", str(out)])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report["stage1_char"]["aggregate"]["psnr"] > 50   # identical
+    assert report["stage2a_mv_color"]["aggregate"]["psnr"] < 30
