@@ -76,13 +76,20 @@ def init_mlp(cfg: MLPConfig, dim_in: int, dim_out: int,
 
 def apply_mlp(cfg: MLPConfig, params: Dict[str, Any],
               x: jnp.ndarray) -> jnp.ndarray:
-    h = x.astype(jnp.float32)
+    """Runs in the INPUT dtype (params are f32; they cast to h.dtype at the
+    matmul with f32 accumulation) — a bf16 encoding keeps the whole field
+    chain bf16, an f32 input reproduces the original f32 math exactly."""
+    h = x
+    cdt = h.dtype
     n = len(params["layers"])
     for i, layer in enumerate(params["layers"]):
         w = layer["w"]
         if cfg.weight_norm:
+            # weight-norm math in f32 on the f32 params, cast once
             w = w * (layer["g"] / (jnp.linalg.norm(w, axis=0) + 1e-12))
-        h = h @ w + layer["b"]
+        h = jnp.dot(h, w.astype(cdt),
+                    preferred_element_type=jnp.float32).astype(cdt) \
+            + layer["b"].astype(cdt)
         if i < n - 1:
             if cfg.sphere_init:
                 # softplus β=100: numerically = relu for |x|>~0.1
@@ -129,7 +136,9 @@ def sdf_forward(cfg: SDFFieldConfig, params, x: jnp.ndarray,
     as channel 0. n_active: static active-level count (see hashgrid.encode)."""
     u = contract(x, cfg.radius)
     enc = encode(params["table"], u, cfg.grid, level_mask, n_active)
-    out = apply_mlp(cfg.mlp, params["mlp"], enc)
+    # f32 at the field boundary: alpha/eikonal/compositing stay f32 even
+    # when the encode/MLP chain runs bf16 (grid.compute_dtype)
+    out = apply_mlp(cfg.mlp, params["mlp"], enc).astype(jnp.float32)
     return out[..., 0], out
 
 
@@ -160,9 +169,9 @@ def sdf_with_grad_analytic(cfg: SDFFieldConfig, params, x: jnp.ndarray,
     grads = []
     for k in range(3):
         _, tang = jax.jvp(mlp, (enc,), (denc[k],))
-        grads.append(tang[..., 0] * scale)
+        grads.append(tang[..., 0].astype(jnp.float32) * scale)
     grad = jnp.stack(grads, axis=-1)                     # (P, 3)
-    return sdf, grad, feat
+    return sdf.astype(jnp.float32), grad, feat.astype(jnp.float32)
 
 
 def sdf_with_grad(cfg: SDFFieldConfig, params, x: jnp.ndarray, eps,

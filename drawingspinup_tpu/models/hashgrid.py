@@ -64,9 +64,16 @@ class HashGridConfig:
     # 0.9M/2.1M rows, 3.8/8.6 MB bf16) dense; levels ≥ res 160 still hash.
     # 0 (default) = the exact tcnn layout (dense only when fits table_size).
     dense_max_rows: int = 0
+    # interpolation/jacobian COMPUTE dtype: float32 | bfloat16. The
+    # trilinear weights are always derived in f32 (fractional coordinates
+    # need the mantissa), then the per-corner feature×weight chain runs in
+    # this dtype. bfloat16 halves the memory traffic of the elementwise
+    # accumulation chain that dominates the step after gathers
+    # (PERF_NOTES.md alternated decomposition). A/B'd before adoption.
+    compute_dtype: str = "float32"
     # table storage dtype: float32 | bfloat16. bfloat16 halves HBM and
     # scatter byte traffic (tcnn stores fp16; bf16 is the TPU analog —
-    # no loss scaling needed). Interpolation math always runs f32.
+    # no loss scaling needed). Interpolation math runs in compute_dtype.
     table_dtype: str = "float32"
 
     @property
@@ -137,21 +144,22 @@ def encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig,
     P = x.shape[0]
     px, py, pz = x[:, 0], x[:, 1], x[:, 2]
     F = cfg.n_features_per_level
+    cdt = jnp.dtype(cfg.compute_dtype)
     res_list = cfg.level_resolutions()
     feats = []
     for l in range(cfg.n_levels):
         if n_active is not None and l >= n_active:
-            feats.extend(jnp.zeros_like(px) for _ in range(F))
+            feats.extend(jnp.zeros(px.shape, cdt) for _ in range(F))
             continue
         acc = _level_interp(table[l], px, py, pz, int(res_list[l]), cfg,
                             with_grad=False)
         feats.extend(acc)
     feats = jnp.stack(feats)                             # (L·F, P)
     if level_mask is not None:
-        feats = feats * jnp.repeat(level_mask, F)[:, None]
+        feats = feats * jnp.repeat(level_mask, F).astype(cdt)[:, None]
     out = feats.T                                        # (P, L·F)
     if cfg.include_xyz:
-        out = jnp.concatenate([x * 2.0 - 1.0, out], axis=-1)
+        out = jnp.concatenate([(x * 2.0 - 1.0).astype(cdt), out], axis=-1)
     return out
 
 
@@ -177,6 +185,7 @@ def _level_interp(tab, px, py, pz, r, cfg, with_grad):
     Returns [acc_f...] or ([acc_f...], [dax_f...], [day_f...], [daz_f...])."""
     F = cfg.n_features_per_level
     T = cfg.table_size
+    cdt = jnp.dtype(cfg.compute_dtype)
     r_f = float(r)
     fx, fy, fz = px * r_f, py * r_f, pz * r_f
     x0f, y0f, z0f = jnp.floor(fx), jnp.floor(fy), jnp.floor(fz)
@@ -197,13 +206,13 @@ def _level_interp(tab, px, py, pz, r, cfg, with_grad):
         wy = fy - y0.astype(jnp.float32)
         wz = fz - z0.astype(jnp.float32)
         idx0 = x0 + n_vert * (y0 + n_vert * z0)
-        rows = _widen_dense(tab, n_vert)[idx0].astype(jnp.float32)  # (P, 8F)
+        rows = _widen_dense(tab, n_vert)[idx0].astype(cdt)  # (P, 8F)
     else:
         wx, wy, wz = fx - x0f, fy - y0f, fz - z0f
-    acc = [jnp.zeros_like(px) for _ in range(F)]
-    dax = [jnp.zeros_like(px) for _ in range(F)]
-    day = [jnp.zeros_like(px) for _ in range(F)]
-    daz = [jnp.zeros_like(px) for _ in range(F)]
+    acc = [jnp.zeros(px.shape, cdt) for _ in range(F)]
+    dax = [jnp.zeros(px.shape, cdt) for _ in range(F)]
+    day = [jnp.zeros(px.shape, cdt) for _ in range(F)]
+    daz = [jnp.zeros(px.shape, cdt) for _ in range(F)]
     corner = 0
     for dz in (0, 1):
         for dy in (0, 1):
@@ -222,19 +231,24 @@ def _level_interp(tab, px, py, pz, r, cfg, with_grad):
                             ^ (cy * np.uint32(_PRIMES[1])) \
                             ^ (cz * np.uint32(_PRIMES[2]))
                         idx = idx & np.uint32(T - 1)
-                    # row gather; f32 math regardless of storage dtype — for
-                    # a bf16 table the cast's VJP re-quantizes the cotangent
-                    # so the backward scatter-add moves half the bytes
-                    pair = tab[idx.astype(jnp.int32)].astype(jnp.float32)
+                    # row gather; weight math stays f32, the feature
+                    # accumulation runs in cfg.compute_dtype — for a bf16
+                    # table the cast's VJP re-quantizes the cotangent so
+                    # the backward scatter-add moves half the bytes
+                    pair = tab[idx.astype(jnp.int32)].astype(cdt)
+                # trilinear weights in f32 (fractional precision), cast at
+                # the multiply boundary
                 ux = wx if dx else 1.0 - wx
                 uy = wy if dy else 1.0 - wy
                 uz = wz if dz else 1.0 - wz
-                w = ux * uy * uz
+                w = (ux * uy * uz).astype(cdt)
                 if with_grad:
                     sx = r_f if dx else -r_f
                     sy = r_f if dy else -r_f
                     sz = r_f if dz else -r_f
-                    gx, gy, gz = sx * uy * uz, ux * sy * uz, ux * uy * sz
+                    gx = (sx * uy * uz).astype(cdt)
+                    gy = (ux * sy * uz).astype(cdt)
+                    gz = (ux * uy * sz).astype(cdt)
                 for f in range(F):
                     g = pair[:, f]
                     acc[f] = acc[f] + g * w
@@ -267,12 +281,13 @@ def encode_with_spatial_grad(table, x: jnp.ndarray,
     P = x.shape[0]
     px, py, pz = x[:, 0], x[:, 1], x[:, 2]
     F = cfg.n_features_per_level
+    cdt = jnp.dtype(cfg.compute_dtype)
     res_list = cfg.level_resolutions()
     a_list, dx_list, dy_list, dz_list = [], [], [], []
     for l in range(cfg.n_levels):
         if n_active is not None and l >= n_active:
             for lst in (a_list, dx_list, dy_list, dz_list):
-                lst.extend(jnp.zeros_like(px) for _ in range(F))
+                lst.extend(jnp.zeros(px.shape, cdt) for _ in range(F))
             continue
         acc, dax, day, daz = _level_interp(table[l], px, py, pz,
                                            int(res_list[l]), cfg,
@@ -285,13 +300,13 @@ def encode_with_spatial_grad(table, x: jnp.ndarray,
     def finish(lst):
         arr = jnp.stack(lst)                             # (L·F, P)
         if level_mask is not None:
-            arr = arr * jnp.repeat(level_mask, F)[:, None]
+            arr = arr * jnp.repeat(level_mask, F).astype(cdt)[:, None]
         return arr.T                                     # (P, L·F)
 
     enc = finish(a_list)
     dencs = [finish(dx_list), finish(dy_list), finish(dz_list)]
     if cfg.include_xyz:
-        enc = jnp.concatenate([x * 2.0 - 1.0, enc], axis=-1)
+        enc = jnp.concatenate([(x * 2.0 - 1.0).astype(cdt), enc], axis=-1)
         eye = 2.0 * jnp.eye(3, dtype=enc.dtype)
         dencs = [jnp.concatenate(
             [jnp.broadcast_to(eye[k], (P, 3)), dencs[k]], axis=-1)

@@ -516,6 +516,7 @@ def nsr_config_from_yaml(cfg: Config) -> nsr.NSRConfig:
         start_step=enc.get("start_step", 0),
         update_steps=enc.get("update_steps", 1000),
         table_dtype=enc.get("table_dtype", "float32"),
+        compute_dtype=enc.get("compute_dtype", "float32"),
         dense_max_rows=int(enc.get("dense_max_rows", 0)),
     )
     sdf = SDFFieldConfig(
