@@ -70,21 +70,25 @@ def bench_ffc() -> float:
 
 
 def bench_nsr_phases() -> dict:
-    """ms/step at 4/5/6 active levels, production config, bf16 tables."""
-    import dataclasses
+    """ms/step at 4/5/6 active levels at the SHIPPED production config
+    (configs/neus-ortho.yaml: bf16 tables + bf16 compute dtype, visual-hull
+    t-ranges, 32/32 samples)."""
+    import os
 
     import jax
 
+    from drawingspinup_tpu.core.config import load_config
+    from drawingspinup_tpu.pipelines.stage2_recon import nsr_config_from_yaml
     from drawingspinup_tpu.train import nsr
 
-    cfg = nsr.NSRConfig()
-    grid = dataclasses.replace(cfg.sdf.grid, table_dtype="bfloat16")
-    cfg = dataclasses.replace(cfg, sdf=dataclasses.replace(cfg.sdf,
-                                                           grid=grid))
+    cfg = nsr_config_from_yaml(load_config(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "drawingspinup_tpu", "configs", "neus-ortho.yaml")))
     # synthetic sphere dataset at production image size
     sys.path.insert(0, "scripts")
     from bench_nsr import make_sphere_dataset
-    data = make_sphere_dataset(size=1024)
+    data = make_sphere_dataset(size=1024, hull=cfg.hull_trange,
+                               scene_radius=cfg.radius)
     tx = nsr.make_optimizer(cfg)
 
     out = {}

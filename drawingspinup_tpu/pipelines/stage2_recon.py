@@ -50,9 +50,16 @@ def views_for_uid(uid: str) -> List[str]:
     return SIX_VIEWS
 
 
-def load_ortho_data(paths: UidPaths, im_size: int = 1024
+def load_ortho_data(paths: UidPaths, im_size: int = 1024,
+                    hull_trange: bool = True, radius: float = 1.0
                     ) -> Dict[str, jnp.ndarray]:
-    """Load the per-uid multi-view set into device arrays for the trainer."""
+    """Load the per-uid multi-view set into device arrays for the trainer.
+
+    hull_trange: attach per-ray visual-hull [t_near, t_far] intervals
+    ("t_range") so training samples concentrate around the surface
+    (render/hull.py; replaces the reference's dynamic occupancy pruning,
+    neus.py:118-129). For 2-view uids (front/back are antiparallel) the
+    hull degenerates to the full span — harmless."""
     views = views_for_uid(paths.uid)
     c2ws, _ = view_matrices(views)
     # front-view rotation for normal world transform (normal_system='front')
@@ -85,13 +92,17 @@ def load_ortho_data(paths: UidPaths, im_size: int = 1024
         normals.append(normal_world)
         masks.append(m.astype(np.float32))
 
-    return {
+    data = {
         "images": jnp.asarray(np.stack(images), jnp.float32),
         "normals": jnp.asarray(np.stack(normals), jnp.float32),
         "masks": jnp.asarray(np.stack(masks), jnp.float32),
         "view_weights": jnp.ones((len(views),), jnp.float32),
         "c2w": jnp.asarray(c2ws, jnp.float32),
     }
+    if hull_trange:
+        from drawingspinup_tpu.render.hull import hull_t_ranges
+        data["t_range"] = hull_t_ranges(data["masks"], data["c2w"], radius)
+    return data
 
 
 def load_front_mask(paths: UidPaths) -> Optional[np.ndarray]:
@@ -377,7 +388,8 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
     (the training loop is RPC-wait, not CPU) — a Future[str] is returned
     instead of the path. cli/recon.py does this in multi-uid mode."""
     paths = UidPaths(root, uid)
-    data = load_ortho_data(paths, im_size=im_size)
+    data = load_ortho_data(paths, im_size=im_size, radius=cfg.radius,
+                           hull_trange=cfg.hull_trange)
     front_mask = load_front_mask(paths)
 
     tx = nsr.make_optimizer(cfg)
@@ -556,6 +568,9 @@ def nsr_config_from_yaml(cfg: Config) -> nsr.NSRConfig:
         variance_init=m.get("variance", Config()).get("init_val", 0.3),
         cos_anneal_end=m.get("cos_anneal_end", 20000),
         train_num_rays=m.get("train_num_rays_fixed", 2048),
+        n_coarse=m.get("n_coarse", 64),
+        n_fine=m.get("n_fine", 64),
+        hull_trange=m.get("hull_trange", True),
         randomized=m.get("randomized", True),
         loss=lw,
         max_steps=trainer.get("max_steps", 3000),

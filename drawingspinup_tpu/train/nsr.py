@@ -66,6 +66,11 @@ class NSRConfig:
     n_fine: int = 64
     n_random_pts: int = 2048
     randomized: bool = True
+    # attach static visual-hull [t_near, t_far] per ray at dataset load
+    # (render/hull.py) — the TPU replacement for the reference's dynamic
+    # occupancy pruning; lets n_coarse/n_fine drop 64/64 → 32/32 at equal
+    # converged quality (scripts/{bench,convergence_ab}_hull.py)
+    hull_trange: bool = True
     # analytic (TPU default: autodiff through the trilinear weights, no extra
     # gathers) | finite_difference (reference default; 7× field evals)
     grad_type: str = "analytic"
@@ -150,7 +155,9 @@ def _occ_alpha(sdf: jnp.ndarray, step_size, s: jnp.ndarray) -> jnp.ndarray:
 def render_rays(cfg: NSRConfig, params, rays_o: jnp.ndarray,
                 rays_d: jnp.ndarray, key: Optional[jax.Array],
                 step: jnp.ndarray, train: bool,
-                n_active: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+                n_active: Optional[int] = None,
+                t_range: Optional[jnp.ndarray] = None
+                ) -> Dict[str, jnp.ndarray]:
     """rays_o/d: (R, 3) → composited rgb/normal/opacity/depth + training aux.
 
     Two-pass sampling: n_coarse stratified uniform (cheap sdf-only eval) →
@@ -162,6 +169,11 @@ def render_rays(cfg: NSRConfig, params, rays_o: jnp.ndarray,
     (see hashgrid.encode). Must satisfy
     n_active ≥ cfg.sdf.grid.current_level(step) or features get zeroed that
     the band mask would keep.
+
+    t_range: optional (R, 2) per-ray [t_near, t_far] (visual-hull intervals,
+    render/hull.py) replacing the AABB span — the fixed sample budget then
+    concentrates in the hull slab. The AABB hit flag is still what zeroes
+    alpha for rays missing the scene box.
     """
     rkeys = jax.random.split(key, 3) if key is not None else [None] * 3
     level_mask = progressive_mask(cfg.sdf.grid, step)
@@ -173,6 +185,8 @@ def render_rays(cfg: NSRConfig, params, rays_o: jnp.ndarray,
 
     t_near, t_far = neus.aabb_intersect(rays_o, rays_d, cfg.radius)
     hit = (t_far > t_near).astype(jnp.float32)           # (R,)
+    if t_range is not None:
+        t_near, t_far = t_range[:, 0], t_range[:, 1]
     t_far = jnp.maximum(t_far, t_near + 1e-4)
 
     # ---- coarse pass (sdf only, no grads through it) ----
@@ -297,6 +311,8 @@ def sample_pixel_rays(key: jax.Array, data: Dict[str, jnp.ndarray],
         "mask": data["masks"][vi, yi, xi],
         "view_weights": data["view_weights"][vi],
     }
+    if "t_range" in data:  # static: dict keys are fixed at trace time
+        targets["t_range"] = data["t_range"][vi, yi, xi]
     return rays_o, rays_d, targets
 
 
@@ -361,10 +377,11 @@ def train_step(cfg: NSRConfig, tx, state: TrainState,
     k_pix, k_render = jax.random.split(key)
     rays_o, rays_d, targets = sample_pixel_rays(k_pix, data,
                                                 cfg.train_num_rays)
+    t_range = targets.pop("t_range", None)
 
     def loss_fn(params):
         out = render_rays(cfg, params, rays_o, rays_d, k_render, state.step,
-                          train=True, n_active=n_active)
+                          train=True, n_active=n_active, t_range=t_range)
         out["rays_d"] = rays_d
         return compute_losses(cfg, out, targets)
 

@@ -37,8 +37,10 @@ def make_train_step_dp(cfg: nsr.NSRConfig, tx, mesh: Mesh,
         k_pix, k_render = jax.random.split(key[0])
         rays_o, rays_d, targets = nsr.sample_pixel_rays(
             k_pix, data, rays_per_device)
+        t_range = targets.pop("t_range", None)
         out = nsr.render_rays(cfg, params, rays_o, rays_d, k_render, step,
-                              train=True, n_active=n_active)
+                              train=True, n_active=n_active,
+                              t_range=t_range)
         out["rays_d"] = rays_d
         loss, logs = nsr.compute_losses(cfg, out, targets)
         return loss, logs

@@ -30,7 +30,8 @@ from drawingspinup_tpu.render.cameras import (
 from drawingspinup_tpu.core import VIEWS
 
 
-def make_sphere_dataset(n_views=6, size=1024, radius=0.5):
+def make_sphere_dataset(n_views=6, size=1024, radius=0.5, hull=False,
+                        scene_radius=1.0):
     views = list(VIEWS[:n_views])
     c2ws, _ = view_matrices(views)
     origins, dirs = ortho_ray_grid(size, size)
@@ -49,13 +50,18 @@ def make_sphere_dataset(n_views=6, size=1024, radius=0.5):
         images.append(np.where(hit[:, None], col, 0.0).reshape(size, size, 3))
         normals.append(np.where(hit[:, None], n, 0.0).reshape(size, size, 3))
         masks.append(hit.reshape(size, size).astype(np.float32))
-    return {
+    data = {
         "images": jnp.asarray(np.stack(images), jnp.float32),
         "normals": jnp.asarray(np.stack(normals), jnp.float32),
         "masks": jnp.asarray(np.stack(masks), jnp.float32),
         "view_weights": jnp.ones((n_views,), jnp.float32),
         "c2w": jnp.asarray(c2ws, jnp.float32),
     }
+    if hull:
+        from drawingspinup_tpu.render.hull import hull_t_ranges
+        data["t_range"] = hull_t_ranges(data["masks"], data["c2w"],
+                                        scene_radius)
+    return data
 
 
 def main():
