@@ -47,21 +47,29 @@ class ConvBlock(nn.Module):
     use_bias: bool = False
     norm: Optional[str] = "batch_norm"  # batch_norm | instance_norm | None
     act: Optional[str] = "leaky"        # leaky | relu | None
+    # conv compute dtype (params stay f32, f32 matmul accumulation via the
+    # conv itself; norm statistics always run f32). bfloat16 halves the
+    # activation HBM traffic — the binding cost of the patch-GAN step.
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = jnp.dtype(self.dtype)
+        x = x.astype(dt)
         w = self.param("kernel", nn.initializers.he_normal(),
                        (self.kernel, self.kernel, x.shape[-1], self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,)) \
             if self.use_bias else None
-        y = conv2d(x, w, b, stride=self.stride, padding=self.padding)
+        y = conv2d(x, w.astype(dt), None if b is None else b.astype(dt),
+                   stride=self.stride, padding=self.padding)
         if self.norm == "batch_norm":
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5)(y)
+                             epsilon=1e-5)(y.astype(jnp.float32)).astype(dt)
         elif self.norm == "instance_norm":
-            mean = y.mean(axis=(1, 2), keepdims=True)
-            var = y.var(axis=(1, 2), keepdims=True)
-            y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+            y32 = y.astype(jnp.float32)
+            mean = y32.mean(axis=(1, 2), keepdims=True)
+            var = y32.var(axis=(1, 2), keepdims=True)
+            y = ((y32 - mean) * jax.lax.rsqrt(var + 1e-5)).astype(dt)
         if self.act == "leaky":
             y = _leaky(y)
         elif self.act == "relu":
@@ -84,48 +92,53 @@ class GeneratorJ(nn.Module):
     tanh: bool = True
     append_smoothers: bool = True
     norm: str = "batch_norm"
+    dtype: Any = jnp.float32   # activation compute dtype (see ConvBlock)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.filters
-        out0 = ConvBlock(f[0], 7, padding=3, use_bias=self.use_bias,
+        x = x.astype(jnp.dtype(self.dtype))
+        ConvBlock_ = partial(ConvBlock, dtype=self.dtype)
+        out0 = ConvBlock_(f[0], 7, padding=3, use_bias=self.use_bias,
                          norm=self.norm, act="leaky", name="conv0")(x, train)
-        out1 = ConvBlock(f[1], 3, stride=2, padding=1, use_bias=self.use_bias,
+        out1 = ConvBlock_(f[1], 3, stride=2, padding=1, use_bias=self.use_bias,
                          norm=self.norm, act="leaky", name="conv1")(out0, train)
-        out2 = ConvBlock(f[2], 3, stride=2, padding=1, use_bias=self.use_bias,
+        out2 = ConvBlock_(f[2], 3, stride=2, padding=1, use_bias=self.use_bias,
                          norm=self.norm, act="leaky", name="conv2")(out1, train)
         h = out2
         for i in range(self.resnet_blocks):
             # reference block: relu → conv → norm → relu → conv, residual
             t = jax.nn.relu(h)
-            t = ConvBlock(f[2], 3, padding=1, use_bias=self.use_bias,
+            t = ConvBlock_(f[2], 3, padding=1, use_bias=self.use_bias,
                           norm=self.norm, act="relu",
                           name=f"res{i}_conv0")(t, train)
-            t = ConvBlock(f[2], 3, padding=1, use_bias=self.use_bias,
+            t = ConvBlock_(f[2], 3, padding=1, use_bias=self.use_bias,
                           norm=None, act=None, name=f"res{i}_conv1")(t, train)
             h = t + h
         h = jnp.concatenate([h, out2], axis=-1)
         h = upsample2x(h)
-        h = ConvBlock(f[4], 3, padding=1, use_bias=False, norm=self.norm,
+        h = ConvBlock_(f[4], 3, padding=1, use_bias=False, norm=self.norm,
                       act="relu", name="upconv2")(h, train)
         h = jnp.concatenate([h, out1], axis=-1)
         h = upsample2x(h)
-        h = ConvBlock(f[4], 3, padding=1, use_bias=False, norm=self.norm,
+        h = ConvBlock_(f[4], 3, padding=1, use_bias=False, norm=self.norm,
                       act="relu", name="upconv1")(h, train)
         h = jnp.concatenate([h, out0, x], axis=-1)
-        h = ConvBlock(f[5], 7, padding=3, use_bias=self.use_bias, norm=None,
+        h = ConvBlock_(f[5], 7, padding=3, use_bias=self.use_bias, norm=None,
                       act="relu", name="conv_11")(h, train)
         if self.append_smoothers:
-            h = ConvBlock(f[5], 3, padding=1, use_bias=self.use_bias,
+            h = ConvBlock_(f[5], 3, padding=1, use_bias=self.use_bias,
                           norm=None, act="relu", name="smooth0")(h, train)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name="smooth_bn")(h)
-            h = ConvBlock(f[5], 3, padding=1, use_bias=self.use_bias,
+                             epsilon=1e-5, name="smooth_bn")(
+                h.astype(jnp.float32)).astype(jnp.dtype(self.dtype))
+            h = ConvBlock_(f[5], 3, padding=1, use_bias=self.use_bias,
                           norm=None, act="relu", name="smooth1")(h, train)
         w = self.param("head_kernel", nn.initializers.he_normal(),
                        (1, 1, h.shape[-1], 3))
         b = self.param("head_bias", nn.initializers.zeros, (3,))
-        y = conv2d(h, w, b)
+        y = conv2d(h, w.astype(h.dtype), b.astype(h.dtype)).astype(
+            jnp.float32)   # f32 at the model boundary (losses, output)
         return jnp.tanh(y) if self.tanh else y
 
 
@@ -312,15 +325,18 @@ class GeneratorJ_RIC(nn.Module):
     tanh: bool = True
     append_smoothers: bool = True
     ric_variant: str = "fused"   # see RICConv.variant
+    dtype: Any = jnp.float32     # activation compute dtype (see ConvBlock)
 
     def _norm_act(self, y, act, train, name):
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name=name)(y)
+                         epsilon=1e-5, name=name)(
+            y.astype(jnp.float32)).astype(jnp.dtype(self.dtype))
         return _leaky(y) if act == "leaky" else jax.nn.relu(y)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.filters
+        x = x.astype(jnp.dtype(self.dtype))
         maxpool = partial(nn.max_pool, window_shape=(2, 2), strides=(2, 2))
         out0 = self._norm_act(RICConv(f[0], variant=self.ric_variant, name="conv0")(x), "leaky", train,
                               "bn0")
@@ -348,14 +364,16 @@ class GeneratorJ_RIC(nn.Module):
         if self.append_smoothers:
             t = jax.nn.relu(RICConv(f[5], variant=self.ric_variant, name="smooth0")(h))
             t = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name="smooth_bn")(t)
+                             epsilon=1e-5, name="smooth_bn")(
+                t.astype(jnp.float32)).astype(jnp.dtype(self.dtype))
             # NOTE: reference conv_11_a feeds conv index 3 from `output`, not
             # the intermediate (models.py:349-352) — preserved here.
             h = jax.nn.relu(RICConv(f[5], variant=self.ric_variant, name="smooth1")(h))
         wh = self.param("head_kernel", nn.initializers.he_normal(),
                         (1, 1, h.shape[-1], 3))
         bh = self.param("head_bias", nn.initializers.zeros, (3,))
-        y = conv2d(h, wh, bh)
+        y = conv2d(h, wh.astype(h.dtype), bh.astype(h.dtype)).astype(
+            jnp.float32)   # f32 at the model boundary (losses, output)
         return jnp.tanh(y) if self.tanh else y
 
 
@@ -365,25 +383,27 @@ class DiscriminatorN_IN(nn.Module):
     num_filters: int = 12
     n_layers: int = 2
     use_bias: bool = True
+    dtype: Any = jnp.float32     # activation compute dtype (see ConvBlock)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = ConvBlock(self.num_filters, 4, stride=2, padding=1,
-                      use_bias=self.use_bias, norm=None, act="leaky",
-                      name="conv0")(x, train)
+        ConvBlock_ = partial(ConvBlock, dtype=self.dtype)
+        h = ConvBlock_(self.num_filters, 4, stride=2, padding=1,
+                       use_bias=self.use_bias, norm=None, act="leaky",
+                       name="conv0")(x, train)
         mult = 1
         for l in range(1, self.n_layers):
             mult = min(2 ** l, 8)
-            h = ConvBlock(self.num_filters * mult, 4, stride=2, padding=1,
-                          use_bias=self.use_bias, norm="instance_norm",
-                          act="leaky", name=f"conv_{l}")(h, train)
+            h = ConvBlock_(self.num_filters * mult, 4, stride=2, padding=1,
+                           use_bias=self.use_bias, norm="instance_norm",
+                           act="leaky", name=f"conv_{l}")(h, train)
         mult = min(2 ** self.n_layers, 8)
-        h = ConvBlock(self.num_filters * mult, 4, stride=1, padding=1,
-                      use_bias=self.use_bias, norm="instance_norm",
-                      act="leaky", name=f"conv_{self.n_layers}")(h, train)
-        h = ConvBlock(1, 4, stride=1, padding=1, use_bias=self.use_bias,
-                      norm=None, act=None, name="conv_out")(h, train)
-        return h, None
+        h = ConvBlock_(self.num_filters * mult, 4, stride=1, padding=1,
+                       use_bias=self.use_bias, norm="instance_norm",
+                       act="leaky", name=f"conv_{self.n_layers}")(h, train)
+        h = ConvBlock_(1, 4, stride=1, padding=1, use_bias=self.use_bias,
+                       norm=None, act=None, name="conv_out")(h, train)
+        return h.astype(jnp.float32), None  # f32 logits at the boundary
 
 
 class PerceptualVGG19(nn.Module):
@@ -394,6 +414,7 @@ class PerceptualVGG19(nn.Module):
 
     feature_layers: Sequence[int] = (0, 3, 5)
     use_normalization: bool = False
+    dtype: Any = jnp.float32     # activation compute dtype (see ConvBlock)
 
     # VGG19 feature-layer channel plan up to index max(feature_layers)
     _PLAN = [(0, 64), (2, 64), (5, 128), (7, 128)]  # (feature idx, channels)
@@ -410,7 +431,7 @@ class PerceptualVGG19(nn.Module):
             x = ((x + 1) / 2 - mean) / std
         outs: List[jnp.ndarray] = []
         idx = 0
-        h = x
+        h = x.astype(jnp.dtype(self.dtype))
         max_layer = max(self.feature_layers)
         for conv_i, (feat_idx, ch) in enumerate(self._PLAN):
             if feat_idx > max_layer:
@@ -418,7 +439,8 @@ class PerceptualVGG19(nn.Module):
             if feat_idx in (5, 10) and feat_idx != 0:  # pool before conv2_1…
                 h = nn.max_pool(h, (2, 2), strides=(2, 2))
             h = ConvBlock(ch, 3, padding=1, use_bias=True, norm=None,
-                          act=None, name=f"vggconv{conv_i}")(h)
+                          act=None, dtype=self.dtype,
+                          name=f"vggconv{conv_i}")(h)
             if feat_idx in self.feature_layers:
                 outs.append(h)
             h = jax.nn.relu(h)
@@ -427,7 +449,9 @@ class PerceptualVGG19(nn.Module):
             if len(outs) == len(self.feature_layers):
                 break
         if as_list:
-            return outs
+            # f32 at the boundary: the perceptual-loss squared sums
+            # accumulate outside any matmul
+            return [o.astype(jnp.float32) for o in outs]
         flat = [o.reshape(o.shape[0], -1) for o in outs]
         return jnp.concatenate(flat, axis=-1)
 

@@ -53,6 +53,11 @@ class GANConfig:
     # path to a VGG19-features npz (scripts/export_vgg19_npz.py); None →
     # $DSU_VGG19_NPZ → loud random-feature fallback
     vgg_npz: Optional[str] = None
+    # activation compute dtype for G/D/VGG (params + norm stats + losses
+    # stay f32): bfloat16 halves the HBM traffic of the (N,H,W,9,O) RIC
+    # intermediates that bind the train step. A/B'd before adoption
+    # (scripts/bench_gan_dtype.py, PERF_NOTES.md).
+    compute_dtype: str = "float32"
 
 
 class GANState(NamedTuple):
@@ -76,11 +81,13 @@ def build_models(cfg: GANConfig, ric_variant: str = "fused"):
         cfg.generator]
     kw = {"ric_variant": ric_variant} if cfg.generator == "GeneratorJ_RIC" \
         else {}
+    dt = jnp.dtype(cfg.compute_dtype)
     gen = gen_cls(filters=cfg.filters, resnet_blocks=cfg.resnet_blocks,
-                  tanh=cfg.tanh, append_smoothers=cfg.append_smoothers, **kw)
+                  tanh=cfg.tanh, append_smoothers=cfg.append_smoothers,
+                  dtype=dt, **kw)
     disc = DiscriminatorN_IN(num_filters=cfg.disc_filters,
-                             n_layers=cfg.disc_layers)
-    vgg = PerceptualVGG19()
+                             n_layers=cfg.disc_layers, dtype=dt)
+    vgg = PerceptualVGG19(dtype=dt)
     return gen, disc, vgg
 
 

@@ -64,6 +64,63 @@ def make_sphere_dataset(n_views=6, size=1024, radius=0.5, hull=False,
     return data
 
 
+# character-proxy: union of small spheres arranged like a stick figure —
+# THIN geometry, the production regime for visual-hull sampling (drawn
+# characters have thin limbs; the solid sphere is the hull's worst case)
+FIGURE_SPHERES = [  # (cx, cy, cz, r)
+    (0.0, 0.0, 0.55, 0.16),     # head
+    (0.0, 0.0, 0.25, 0.14),     # chest
+    (0.0, 0.0, 0.0, 0.12),      # belly
+    (-0.22, 0.0, 0.32, 0.07), (-0.38, 0.0, 0.18, 0.06),   # left arm
+    (0.22, 0.0, 0.32, 0.07), (0.38, 0.0, 0.18, 0.06),     # right arm
+    (-0.1, 0.0, -0.25, 0.08), (-0.14, 0.0, -0.5, 0.07),   # left leg
+    (0.1, 0.0, -0.25, 0.08), (0.14, 0.0, -0.5, 0.07),     # right leg
+]
+
+
+def make_figure_dataset(n_views=6, size=1024, hull=False, scene_radius=1.0):
+    """Analytic ortho renders of the union-of-spheres figure."""
+    views = list(VIEWS[:n_views])
+    c2ws, _ = view_matrices(views)
+    origins, dirs = ortho_ray_grid(size, size)
+    spheres = np.asarray(FIGURE_SPHERES, np.float32)
+    images, normals, masks = [], [], []
+    for c2w in c2ws:
+        ro, rd = rays_to_world(origins.reshape(-1, 3), dirs.reshape(-1, 3),
+                               c2w)
+        t_best = np.full(ro.shape[0], np.inf, np.float32)
+        n_best = np.zeros_like(ro)
+        for cx, cy, cz, r in spheres:
+            oc = ro - np.asarray([cx, cy, cz], np.float32)
+            b = np.sum(oc * rd, -1)
+            c = np.sum(oc * oc, -1) - r ** 2
+            disc = b * b - c
+            hit = disc > 0
+            t = -b - np.sqrt(np.maximum(disc, 0))
+            closer = hit & (t < t_best)
+            t_best = np.where(closer, t, t_best)
+            p = oc + t[:, None] * rd
+            n_best = np.where(closer[:, None], p / r, n_best)
+        hit = np.isfinite(t_best)
+        col = np.clip(0.5 + 0.5 * n_best, 0, 1)
+        images.append(np.where(hit[:, None], col, 0.0).reshape(size, size, 3))
+        normals.append(np.where(hit[:, None], n_best, 0.0)
+                       .reshape(size, size, 3))
+        masks.append(hit.reshape(size, size).astype(np.float32))
+    data = {
+        "images": jnp.asarray(np.stack(images), jnp.float32),
+        "normals": jnp.asarray(np.stack(normals), jnp.float32),
+        "masks": jnp.asarray(np.stack(masks), jnp.float32),
+        "view_weights": jnp.ones((n_views,), jnp.float32),
+        "c2w": jnp.asarray(c2ws, jnp.float32),
+    }
+    if hull:
+        from drawingspinup_tpu.render.hull import hull_t_ranges
+        data["t_range"] = hull_t_ranges(data["masks"], data["c2w"],
+                                        scene_radius)
+    return data
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
