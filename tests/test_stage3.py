@@ -41,6 +41,22 @@ class TestModels:
         assert score.shape[0] == 2 and score.shape[-1] == 1
         assert aux is None
 
+    def test_bf16_dtype_forward_close_to_f32(self, rng):
+        """compute dtype bf16 (GANConfig.compute_dtype): same f32 params,
+        bf16 activations — outputs stay f32 at the boundary and close to
+        the f32 forward (bf16 has ~3 decimal digits; tanh bounds [-1,1])."""
+        f = (8, 16, 32, 32, 32, 16)
+        g32 = GeneratorJ_RIC(filters=f, resnet_blocks=2)
+        g16 = GeneratorJ_RIC(filters=f, resnet_blocks=2,
+                             dtype=jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
+        v = g32.init(jax.random.PRNGKey(0), x, train=True)
+        y32 = g32.apply(v, x, train=False)
+        y16 = g16.apply(v, x, train=False)
+        assert y16.dtype == jnp.float32
+        assert float(jnp.abs(y16 - y32).max()) < 0.15
+        assert float(jnp.abs(y16 - y32).mean()) < 0.03
+
     def test_vgg_features_deterministic(self, rng):
         vgg = PerceptualVGG19()
         x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
