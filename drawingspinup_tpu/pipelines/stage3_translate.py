@@ -214,6 +214,10 @@ def train_stage(root: str, uid: str, stage: int, use_mask: bool = True,
         print(f"[stage{stage} {uid}] patch-dp over {n_dev} devices")
     key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
+    # NOTE: a lax.scan-chunked variant (25 steps/program) was measured e2e
+    # and REVERTED — JAX's async dispatch already pipelines the tunnel, so
+    # it bought nothing per-step and cost a 60-90 s scan compile per uid
+    # frame shape (PERF_NOTES.md).
     for b in range(total):
         key, k = jax.random.split(key)
         if n_dev > 1:
