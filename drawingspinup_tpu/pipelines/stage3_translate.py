@@ -214,6 +214,7 @@ def train_stage(root: str, uid: str, stage: int, use_mask: bool = True,
         print(f"[stage{stage} {uid}] patch-dp over {n_dev} devices")
     key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
+    t_eval = t_ckpt = 0.0
     # NOTE: a lax.scan-chunked variant (25 steps/program) was measured e2e
     # and REVERTED — JAX's async dispatch already pipelines the tunnel, so
     # it bought nothing per-step and cost a 60-90 s scan compile per uid
@@ -225,16 +226,30 @@ def train_stage(root: str, uid: str, stage: int, use_mask: bool = True,
         else:
             state, logs = gan.train_step(cfg, state, data, k)
         if (b + 1) % cfg.log_interval == 0:
+            # float(logs[...]) is a D2H sync: all queued steps are done here,
+            # so the eval/ckpt timers below measure only themselves
             print(f"[stage{stage} {uid}] batch {b + 1}/{total} "
                   f"g={float(logs['g_loss']):.4f} "
                   f"d={float(logs['d_loss']):.4f}")
+            tc = time.time()
             gan.save_checkpoint(log_dir, state, b + 1)
+            te = time.time()
             test_on_full_images(cfg, state, render_root, actions, res_name,
                                 use_mask, use_pos, s["use_edge"], pre_dir)
+            t_ckpt += te - tc
+            t_eval += time.time() - te
+    tc = time.time()
     gan.save_checkpoint(log_dir, state, FINAL_STEP)
+    te = time.time()
     test_on_full_images(cfg, state, render_root, actions, res_name,
                         use_mask, use_pos, s["use_edge"], pre_dir)
-    print(f"[stage{stage} {uid}] {total} batches in {time.time() - t0:.1f}s")
+    t_ckpt += te - tc
+    t_eval += time.time() - te
+    wall = time.time() - t0
+    steps_wall = wall - t_eval - t_ckpt
+    print(f"[stage{stage} {uid}] {total} batches in {wall:.1f}s "
+          f"(steps {steps_wall:.1f}s = {1e3 * steps_wall / max(total, 1):.1f} "
+          f"ms/step, eval {t_eval:.1f}s, ckpt {t_ckpt:.1f}s)")
     return state
 
 

