@@ -157,6 +157,28 @@ def bench_stage3() -> float:
     return 1.0 / best
 
 
+def bench_export_tail() -> float:
+    """Host half of the mesh export at production scale: binary smoothing +
+    marching tetrahedra + quadric remesh to 50k faces over a 512³ field
+    (native/march.cc + decimate.cc fast path). Seconds, lower is better."""
+    from drawingspinup_tpu.render import marching, mesh_post
+
+    n = 512
+    x = np.linspace(-0.5, 0.5, n, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(x, x, x, indexing="ij")
+    f = np.maximum(0.32 - np.sqrt(xx ** 2 + yy ** 2 + zz ** 2),
+                   0.03 - np.abs(yy) - np.abs(0.3 - np.sqrt(xx ** 2 + zz ** 2)))
+    binary = f > 0
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        v, fc = marching.extract_isosurface(binary, sigma=1.0)
+        v, fc = mesh_post.remesh(v, fc, 50000)
+        best = min(best, time.perf_counter() - t0)
+    assert len(fc) <= 50000
+    return best
+
+
 def main() -> None:
     from drawingspinup_tpu.core import jax_setup
     jax_setup.setup()
@@ -169,6 +191,8 @@ def main() -> None:
     log(f"[bench] recon 3000-step projection: {recon_s:.1f} s")
     s3 = bench_stage3()
     log(f"[bench] stage3 gan: {s3:.1f} steps/s")
+    exp_s = bench_export_tail()
+    log(f"[bench] export host tail (512^3 smooth+march+remesh): {exp_s:.1f} s")
     log(f"[bench] total bench time {time.time() - t_all:.0f} s")
 
     print(json.dumps({
@@ -181,6 +205,7 @@ def main() -> None:
                                          for k, v in phases.items()},
             "stage1_ffc_512_imgs_per_sec": round(ffc, 1),
             "stage3_gan_steps_per_sec": round(s3, 1),
+            "export_host_tail_512_s": round(exp_s, 1),
             "baseline_note": "vs_baseline = round-1 measured 407 s recon "
                              "/ current; reference publishes no numbers",
         },

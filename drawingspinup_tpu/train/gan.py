@@ -142,12 +142,23 @@ def train_step(cfg: GANConfig, state: GANState, data: KeyframeData,
     k_patch, _ = jax.random.split(key)
     batch = sample_patches(data, k_patch, cfg.batch_size, cfg.patch_size)
 
-    # ---- discriminator step ----
-    fake, _ = gen.apply({"params": state.g_params,
-                         "batch_stats": state.g_stats}, batch["pre"],
-                        train=True, mutable=["batch_stats"])
-    fake = jax.lax.stop_gradient(fake)
+    # ---- generator forward, ONCE ----
+    # The reference computes `generated` once and reuses the tensor for the
+    # D step (detached) and the G loss (trainers.py D-then-G ordering with
+    # the graph retained). jax.vjp reproduces that exactly: the same primal
+    # output feeds the D step as a constant, and the G gradient pulls the
+    # tail cotangent back through the saved residuals — identical math to
+    # the earlier two-forward formulation (both applies used state.g_stats,
+    # so the outputs were already bit-identical), one G forward cheaper.
+    def g_fwd(g_params):
+        out, mut = gen.apply({"params": g_params,
+                              "batch_stats": state.g_stats}, batch["pre"],
+                             train=True, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
 
+    fake, g_vjp, g_stats = jax.vjp(g_fwd, state.g_params, has_aux=True)
+
+    # ---- discriminator step (fake is a constant here) ----
     def d_loss_fn(d_params):
         fake_m = fake * batch["pre_mask"]
         true_m = batch["already"] * batch["already_mask"]
@@ -159,11 +170,8 @@ def train_step(cfg: GANConfig, state: GANState, data: KeyframeData,
     d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
     d_params = optax.apply_updates(state.d_params, d_updates)
 
-    # ---- generator step ----
-    def g_loss_fn(g_params):
-        out, mut = gen.apply({"params": g_params,
-                              "batch_stats": state.g_stats}, batch["pre"],
-                             train=True, mutable=["batch_stats"])
+    # ---- generator step: loss tail on the saved forward, then pull back ----
+    def g_tail(out):
         image_loss = jnp.mean(jnp.abs(out - batch["post"])) \
             if cfg.use_image_loss else 0.0
         # per-map squared sums ≡ mean over the concatenated feature vector,
@@ -179,11 +187,11 @@ def train_step(cfg: GANConfig, state: GANState, data: KeyframeData,
         total = (cfg.reconstruction_weight * image_loss
                  + cfg.perception_weight * perception_loss
                  + cfg.adversarial_weight * adversarial_loss)
-        return total, (mut["batch_stats"], image_loss, perception_loss,
-                       adversarial_loss)
+        return total, (image_loss, perception_loss, adversarial_loss)
 
-    (g_loss, (g_stats, img_l, perc_l, adv_l)), g_grads = \
-        jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+    (g_loss, (img_l, perc_l, adv_l)), out_grad = \
+        jax.value_and_grad(g_tail, has_aux=True)(fake)
+    (g_grads,) = g_vjp(out_grad)
     g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
     g_params = optax.apply_updates(state.g_params, g_updates)
 
