@@ -282,13 +282,24 @@ class RICConv(nn.Module):
 
     features: int
     use_bias: bool = False
-    variant: str = "fused"   # "fused" (1-write/1-read) | "pershift" (9 reads)
+    # "fused" (1-write/1-read XLA) | "pershift" (9 reads, inference-optimal)
+    # | "pallas" (whole chain VMEM-resident, kernels/ric_conv.py)
+    variant: str = "fused"
 
     @nn.compact
     def __call__(self, x):
         h, w = x.shape[1], x.shape[2]
         wk = self.param("kernel", nn.initializers.he_normal(),
                         (9, x.shape[-1], self.features))
+        if self.variant == "pallas":
+            from drawingspinup_tpu.kernels.ric_conv import ric_conv
+            swf = jnp.asarray(ric_shifted_weights(h, w))
+            out = ric_conv(x.astype(jnp.float32), wk.astype(jnp.float32),
+                           swf).astype(x.dtype)
+            if self.use_bias:
+                out = out + self.param("bias", nn.initializers.zeros,
+                                       (self.features,))
+            return out
         shifts = [(sy, sx) for sy in (-1, 0, 1) for sx in (-1, 0, 1)]
         z = jnp.einsum("nhwc,tco->nhwto", x, wk.astype(x.dtype),
                        preferred_element_type=jnp.float32).astype(x.dtype)

@@ -58,6 +58,10 @@ class GANConfig:
     # intermediates that bind the train step. A/B'd before adoption
     # (scripts/bench_gan_dtype.py, PERF_NOTES.md).
     compute_dtype: str = "float32"
+    # RICConv op schedule for TRAINING: "fused" (XLA) | "pallas"
+    # (kernels/ric_conv.py, VMEM-resident). Adoption gated on the on-chip
+    # A/B (scripts/bench_ric_pallas.py); inference always uses "pershift".
+    ric_variant: str = "fused"
 
 
 class GANState(NamedTuple):
@@ -70,7 +74,7 @@ class GANState(NamedTuple):
     step: jnp.ndarray
 
 
-def build_models(cfg: GANConfig, ric_variant: str = "fused"):
+def build_models(cfg: GANConfig, ric_variant: Optional[str] = None):
     """ric_variant: RICConv formulation (same params, same math, different
     op schedule). "fused" is ~2× faster to TRAIN (one write+read of the
     (N,H,W,9,O) intermediates per direction); "pershift" is ~27% faster for
@@ -79,6 +83,8 @@ def build_models(cfg: GANConfig, ric_variant: str = "fused"):
     fused. See PERF_NOTES.md."""
     gen_cls = {"GeneratorJ": GeneratorJ, "GeneratorJ_RIC": GeneratorJ_RIC}[
         cfg.generator]
+    if ric_variant is None:
+        ric_variant = cfg.ric_variant
     kw = {"ric_variant": ric_variant} if cfg.generator == "GeneratorJ_RIC" \
         else {}
     dt = jnp.dtype(cfg.compute_dtype)

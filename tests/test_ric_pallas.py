@@ -1,0 +1,77 @@
+"""Fused Pallas RICConv (kernels/ric_conv.py) vs the XLA "fused" variant —
+forward and VJP parity in interpret mode (conftest pins CPU, so the kernel
+runs through the Pallas interpreter; on-chip adoption is gated on the A/B
+in scripts/bench_ric_pallas.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from drawingspinup_tpu.kernels.ric_conv import ric_conv
+from drawingspinup_tpu.models.generator_j import (
+    GeneratorJ_RIC, RICConv, ric_shifted_weights, shift2d,
+)
+
+
+def _xla_fused(x, wk, swf):
+    """Reference math: the RICConv variant=\"fused\" forward as pure jnp."""
+    shifts = [(sy, sx) for sy in (-1, 0, 1) for sx in (-1, 0, 1)]
+    z = jnp.einsum("nhwc,tco->nhwto", x, wk,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("nhwto,ithw->nhwio", z, swf,
+                   preferred_element_type=jnp.float32)
+    out = None
+    for i, (sy, sx) in enumerate(shifts):
+        t = shift2d(y[:, :, :, i, :], sy, sx)
+        out = t if out is None else out + t
+    return out
+
+
+@pytest.mark.parametrize("shape", [
+    (5, 8, 8, 12, 16),     # bt divides oddly (bt=5)
+    (4, 16, 16, 6, 8),     # production-ish small channels
+    (3, 8, 8, 16, 16),
+])
+def test_forward_parity(shape, rng):
+    n, h, w, c, o = shape
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    wk = jnp.asarray(rng.standard_normal((9, c, o)) * 0.1, jnp.float32)
+    swf = jnp.asarray(ric_shifted_weights(h, w))
+    got = ric_conv(x, wk, swf)
+    want = _xla_fused(x, wk, swf)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_vjp_parity(rng):
+    n, h, w, c, o = 4, 8, 8, 12, 16
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    wk = jnp.asarray(rng.standard_normal((9, c, o)) * 0.1, jnp.float32)
+    swf = jnp.asarray(ric_shifted_weights(h, w))
+    cot = jnp.asarray(rng.standard_normal((n, h, w, o)), jnp.float32)
+
+    def loss_k(x, wk):
+        return jnp.sum(ric_conv(x, wk, swf) * cot)
+
+    def loss_r(x, wk):
+        return jnp.sum(_xla_fused(x, wk, swf) * cot)
+
+    gx_k, gw_k = jax.grad(loss_k, argnums=(0, 1))(x, wk)
+    gx_r, gw_r = jax.grad(loss_r, argnums=(0, 1))(x, wk)
+    np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_r),
+                               atol=3e-4, rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(gw_k), np.asarray(gw_r),
+                               atol=3e-4, rtol=3e-4)
+
+
+def test_generator_variant_parity(rng):
+    """GeneratorJ_RIC(ric_variant=\"pallas\") ≡ \"fused\" end-to-end."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 6)), jnp.float32)
+    kw = dict(filters=(4, 6, 8, 8, 8, 6), resnet_blocks=1)
+    gf = GeneratorJ_RIC(ric_variant="fused", **kw)
+    gp = GeneratorJ_RIC(ric_variant="pallas", **kw)
+    v = gf.init(jax.random.PRNGKey(0), x)
+    yf = gf.apply(v, x)
+    yp = gp.apply(v, x)   # same param structure
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yf),
+                               atol=5e-5, rtol=5e-5)
