@@ -39,10 +39,17 @@ def make_train_step_dp(cfg: gan.GANConfig, mesh: Mesh):
     def device_step(state: gan.GANState, data: KeyframeData, key: jax.Array):
         batch = sample_patches(data, key, per_dev, cfg.patch_size)
 
-        fake, _ = gen.apply({"params": state.g_params,
-                             "batch_stats": state.g_stats}, batch["pre"],
-                            train=True, mutable=["batch_stats"])
-        fake = jax.lax.stop_gradient(fake)
+        # single generator forward per step via jax.vjp, matching
+        # train/gan.py: the primal output feeds the D step as a constant,
+        # the G gradient pulls the tail cotangent back through the residuals
+        def g_fwd(g_params):
+            out, mut = gen.apply({"params": g_params,
+                                  "batch_stats": state.g_stats},
+                                 batch["pre"], train=True,
+                                 mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+
+        fake, g_vjp, g_stats = jax.vjp(g_fwd, state.g_params, has_aux=True)
 
         def d_loss_fn(d_params):
             fl, _ = disc.apply({"params": d_params},
@@ -57,11 +64,7 @@ def make_train_step_dp(cfg: gan.GANConfig, mesh: Mesh):
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
-        def g_loss_fn(g_params):
-            out, mut = gen.apply({"params": g_params,
-                                  "batch_stats": state.g_stats},
-                                 batch["pre"], train=True,
-                                 mutable=["batch_stats"])
+        def g_tail(out):
             image_loss = jnp.mean(jnp.abs(out - batch["post"])) \
                 if cfg.use_image_loss else 0.0
             f_fake = vgg.apply({"params": state.vgg_params}, out,
@@ -77,11 +80,11 @@ def make_train_step_dp(cfg: gan.GANConfig, mesh: Mesh):
             total = (cfg.reconstruction_weight * image_loss
                      + cfg.perception_weight * perception_loss
                      + cfg.adversarial_weight * adversarial_loss)
-            return total, (mut["batch_stats"], image_loss, perception_loss,
-                           adversarial_loss)
+            return total, (image_loss, perception_loss, adversarial_loss)
 
-        (g_loss, (g_stats, img_l, perc_l, adv_l)), g_grads = \
-            jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        (g_loss, (img_l, perc_l, adv_l)), out_grad = \
+            jax.value_and_grad(g_tail, has_aux=True)(fake)
+        (g_grads,) = g_vjp(out_grad)
         g_grads = jax.lax.pmean(g_grads, "dp")
         g_stats = jax.lax.pmean(g_stats, "dp")
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
