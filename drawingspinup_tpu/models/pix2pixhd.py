@@ -57,34 +57,71 @@ class DepthwiseSeparableConv(nn.Module):
 
 
 class MultiDilatedConv(nn.Module):
-    """multidilated_conv.py:6-98: the output channels are split across
-    ``dilation_num`` parallel convs of dilation 2^i, then concatenated.
-    Per-branch SAME padding d·(k−1)/2 keeps spatial shapes aligned."""
+    """multidilated_conv.py:6-98: ``dilation_num`` parallel convs of dilation
+    ``min_dilation·2^i``, combined per ``comb_mode``:
+
+      * ``sum`` (the reference DEFAULT): every branch maps to the full
+        ``features`` width and the branch outputs are summed (:32-34, :97).
+      * ``cat_out`` (equal_dim): each branch produces ``features/num``
+        channels; the concat is re-ordered by the reference's interleave
+        index ``[i + j·(out/num) …]`` so output channel k cycles through
+        the branches (:15-18, :95-96).
+
+    Per-branch padding is ``padding·dilation`` (or an explicit per-branch
+    sequence, as MultidilatedNLayerDiscriminator's ``padding=[2, 3]``),
+    applied with ``padding_mode`` ('zeros' like nn.Conv2d's default, or
+    'reflect' as MultidilatedResnetBlock passes via padding_mode=reflect)."""
 
     features: int
     kernel: int = 3
     stride: int = 1
     dilation_num: int = 3
-    shared_weights: bool = False
+    comb_mode: str = "sum"          # sum | cat_out
+    min_dilation: int = 1
+    padding: Any = 1                # int (scaled by dilation) or per-branch seq
+    padding_mode: str = "zeros"     # zeros | reflect
 
     @nn.compact
     def __call__(self, x):
+        if self.comb_mode not in ("sum", "cat_out"):
+            raise NotImplementedError(
+                f"comb_mode {self.comb_mode!r} (cat_in/cat_both are unused "
+                "by every reference config)")
+        n = self.dilation_num
+        if self.comb_mode == "cat_out":
+            assert self.features % n == 0, "equal_dim cat_out needs n | out"
+            out_dims = [self.features // n] * n
+        else:
+            out_dims = [self.features] * n
         outs = []
-        n_branches = min(self.dilation_num, self.features)
-        per = self.features // n_branches
-        rem = self.features - per * (n_branches - 1)
-        for i in range(n_branches):
-            d = 2 ** i
-            ch = rem if i == n_branches - 1 else per
+        d = self.min_dilation
+        for i in range(n):
+            pad = (int(self.padding[i]) if isinstance(self.padding,
+                                                      (tuple, list))
+                   else int(self.padding) * d)
             w = self.param(f"kernel{i}", nn.initializers.he_normal(),
-                           (self.kernel, self.kernel, x.shape[-1], ch))
-            # asymmetric SAME padding keeps every dilation branch the same
-            # spatial size (exact also for even kernels)
-            total = d * (self.kernel - 1)
-            lo, hi = total // 2, total - total // 2
-            xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
-            outs.append(conv2d(xp, w, stride=self.stride, dilation=d))
-        return jnp.concatenate(outs, axis=-1)
+                           (self.kernel, self.kernel, x.shape[-1],
+                            out_dims[i]))
+            b = self.param(f"bias{i}", nn.initializers.zeros, (out_dims[i],))
+            if pad:
+                xp = (pad2d(x, pad, "reflect")
+                      if self.padding_mode == "reflect"
+                      else jnp.pad(x, ((0, 0), (pad, pad), (pad, pad),
+                                       (0, 0))))
+            else:
+                xp = x
+            outs.append(conv2d(xp, w, b, stride=self.stride, dilation=d))
+            d *= 2
+        if self.comb_mode == "sum":
+            out = outs[0]
+            for o in outs[1:]:
+                out = out + o
+            return out
+        cat = jnp.concatenate(outs, axis=-1)
+        per = self.features // n
+        index = np.asarray([i + j * per for i in range(per)
+                            for j in range(n)])
+        return cat[..., index]
 
 
 def make_conv(kind: str, features: int, kernel: int = 3, stride: int = 1,
@@ -94,7 +131,8 @@ def make_conv(kind: str, features: int, kernel: int = 3, stride: int = 1,
         return DepthwiseSeparableConv(features, kernel, stride, padding,
                                       name=name)
     if kind == "multidilated":
-        return MultiDilatedConv(features, kernel, stride=stride, name=name)
+        return MultiDilatedConv(features, kernel, stride=stride,
+                                padding=padding, name=name)
 
     class _Conv(nn.Module):
         @nn.compact
@@ -118,6 +156,8 @@ class ResnetBlock(nn.Module):
     norm: str = "bn"
     dilation: int = 1
     second_dilation: Optional[int] = None
+    in_dim: Optional[int] = None   # ≠None → 1×1 input_conv on the skip
+                                   # (reference :54-58, SuperChannels groups)
 
     def _conv(self, h, d: int, name: str):
         p = d * (self.kernel // 2)
@@ -141,21 +181,36 @@ class ResnetBlock(nn.Module):
         h = jax.nn.relu(h)
         h = self._conv(h, d2, "conv2")
         h = norm_apply(self.norm, h, train, "norm2")
-        return x + h
+        skip = x
+        if self.in_dim is not None:
+            wi = self.param("input_conv_kernel", nn.initializers.he_normal(),
+                            (1, 1, self.in_dim, self.dim))
+            bi = self.param("input_conv_bias", nn.initializers.zeros,
+                            (self.dim,))
+            skip = conv2d(x, wi, bi)
+        return skip + h
 
 
 class MultidilatedResnetBlock(nn.Module):
-    """pix2pixhd.py:60-75."""
+    """pix2pixhd.py:60-75 — two MultidilatedConvs (reference passes
+    padding_mode=padding_type, i.e. reflect, and the default comb_mode=sum)
+    around a residual add."""
 
     dim: int
     norm: str = "bn"
+    comb_mode: str = "sum"
+    dilation_num: int = 3
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = MultiDilatedConv(self.dim, name="conv1")(x)
+        h = MultiDilatedConv(self.dim, comb_mode=self.comb_mode,
+                             dilation_num=self.dilation_num,
+                             padding_mode="reflect", name="conv1")(x)
         h = norm_apply(self.norm, h, train, "norm1")
         h = jax.nn.relu(h)
-        h = MultiDilatedConv(self.dim, name="conv2")(h)
+        h = MultiDilatedConv(self.dim, comb_mode=self.comb_mode,
+                             dilation_num=self.dilation_num,
+                             padding_mode="reflect", name="conv2")(h)
         h = norm_apply(self.norm, h, train, "norm2")
         return x + h
 
@@ -236,8 +291,10 @@ class GlobalGenerator(_GlobalBase):
 
 
 class MultiDilatedGlobalGenerator(_GlobalBase):
-    """pix2pixhd.py:178-237."""
-    conv_kind: str = "multidilated"
+    """pix2pixhd.py:178-237 — stem/downsample/upsample use the DEFAULT conv
+    ctor (reference conv_kind='default', :190); only the bottleneck resnet
+    blocks are multidilated (:218-224, resnet_conv_layer hard-wired to
+    'multidilated')."""
     block_kind: str = "multidilated"
 
 
@@ -302,36 +359,100 @@ class ConfigGlobalGenerator(_GlobalBase):
         return h
 
 
+def convert_super_channels(super_channels: Sequence[int],
+                           n_downsampling: int) -> list:
+    """Reference convert_super_channels (pix2pixhd.py:500-538): expands a
+    super-channels schedule into the flat per-stage channel list. Mirrors the
+    index arithmetic exactly — including the upsample entries' ``int(·)``
+    truncation and the fact that a 6-entry schedule indexes past its end on
+    the third upsample entry (a latent reference bug; such schedules raise
+    here the way they raise there)."""
+    sc = list(super_channels)
+    if n_downsampling == 2:
+        n1 = 10
+    elif n_downsampling == 3:
+        n1 = 13
+    else:
+        raise NotImplementedError(f"n_downsampling={n_downsampling}")
+    result = []
+    cnt = 0
+    for i in range(n1):
+        if i in (1, 4, 7, 10):
+            result.append(sc[cnt] * (2 ** cnt))
+            cnt += 1
+    for i in range(3):
+        result.append(sc[3] * 4 if len(sc) == 6 else sc[i + 3] * 4)
+    cnt = 2
+    for i in range(n1 + 9, n1 + 21):
+        if i in (22, 25, 28):
+            cnt -= 1
+            ch = (sc[5 - cnt] * (2 ** cnt) if len(sc) == 6
+                  else sc[7 - cnt] * (2 ** cnt))
+            result.append(int(ch))
+    return result
+
+
 class GlobalGeneratorFromSuperChannels(nn.Module):
     """pix2pixhd.py:450-561: GlobalGenerator whose per-stage widths come from
-    a super-channels schedule instead of ngf·2^i."""
+    a super-channels schedule (convert_super_channels), with the bottleneck
+    split into three groups of n_blocks//3 / n_blocks//3 / remainder blocks;
+    the first block of groups 2 and 3 carries a 1×1 input_conv on its skip
+    when the group changes width (reference :481-495). With BatchNorm,
+    stem/down/up convs have no bias (use_bias gate, :457-461)."""
 
     output_nc: int = 3
-    channels: Sequence[int] = (64, 128, 256, 512, 512, 256, 128, 64)
+    super_channels: Sequence[int] = (8, 16, 32, 64, 64, 64, 128, 64, 96)
+    n_downsampling: int = 3
     n_blocks: int = 6
     norm: str = "bn"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        ch = list(self.channels)
+        ch = convert_super_channels(self.super_channels, self.n_downsampling)
+        nd = self.n_downsampling
+        use_bias = self.norm == "in"
+
+        def conv(h, features, kernel, stride, pad, name):
+            w = self.param(f"{name}_kernel", nn.initializers.he_normal(),
+                           (kernel, kernel, h.shape[-1], features))
+            b = (self.param(f"{name}_bias", nn.initializers.zeros,
+                            (features,)) if use_bias else None)
+            return conv2d(h, w, b, stride=stride, padding=pad)
+
         h = pad2d(x, 3, "reflect")
-        h = make_conv("default", ch[0], 7, name="conv_in")(h)
+        h = conv(h, ch[0], 7, 1, 0, "conv_in")
         h = norm_apply(self.norm, h, train, "norm_in")
         h = jax.nn.relu(h)
-        n_down = (len(ch) - 2) // 2
-        for i in range(n_down):
-            h = make_conv("default", ch[i + 1], 3, stride=2, padding=1,
-                          name=f"down{i}")(h)
+        for i in range(nd):
+            h = conv(h, ch[1 + i], 3, 2, 1, f"down{i}")
             h = norm_apply(self.norm, h, train, f"down{i}_norm")
             h = jax.nn.relu(h)
-        for i in range(self.n_blocks):
-            h = ResnetBlock(ch[n_down], norm=self.norm,
-                            name=f"block{i}")(h, train)
-        for i in range(n_down):
-            out_ch = ch[n_down + 1 + i]
+
+        n1 = self.n_blocks // 3
+        n2 = n1
+        n3 = self.n_blocks - n1 - n2
+        idx = 0
+        for i in range(n1):
+            h = ResnetBlock(ch[nd], norm=self.norm,
+                            name=f"block{idx}")(h, train)
+            idx += 1
+        for i in range(n2):
+            in_dim = ch[nd] if i == 0 else None
+            h = ResnetBlock(ch[nd + 1], norm=self.norm, in_dim=in_dim,
+                            name=f"block{idx}")(h, train)
+            idx += 1
+        for i in range(n3):
+            in_dim = ch[nd + 1] if i == 0 else None
+            h = ResnetBlock(ch[nd + 2], norm=self.norm, in_dim=in_dim,
+                            name=f"block{idx}")(h, train)
+            idx += 1
+
+        for i in range(nd):
+            out_ch = ch[nd + 3 + i + 1]
             w = self.param(f"up{i}_kernel", nn.initializers.he_normal(),
                            (3, 3, h.shape[-1], out_ch))
-            b = self.param(f"up{i}_bias", nn.initializers.zeros, (out_ch,))
+            b = (self.param(f"up{i}_bias", nn.initializers.zeros,
+                            (out_ch,)) if use_bias else None)
             h = conv_transpose2d_torch(h, w, b)
             h = norm_apply(self.norm, h, train, f"up{i}_norm")
             h = jax.nn.relu(h)
@@ -349,37 +470,54 @@ class NLayerDiscriminator(nn.Module):
     ndf: int = 64
     n_layers: int = 3
     norm: str = "bn"
-    conv_kind: str = "default"
+    middle_kind: str = "default"    # conv ctor for the stride-2 layers 1..L-1
+    # 1 = the only runnable configuration of the reference's multidilated
+    # variant (its hard-coded padding=[2,3] is spatially inconsistent for
+    # dilation_num >= 2 and crashes there on the branch sum)
+    dilation_num: int = 1
+
+    def _middle(self, h, nf: int, name: str):
+        if self.middle_kind == "multidilated":
+            # reference :641: MultidilatedConv(..., kernel_size=4, stride=2,
+            # padding=[2, 3]) — explicit per-branch paddings, so only the
+            # 2-branch configuration is realizable (the reference default
+            # dilation_num=3 would index past its 2-entry padding list)
+            return MultiDilatedConv(nf, 4, stride=2, padding=(2, 3),
+                                    dilation_num=self.dilation_num,
+                                    name=name)(h)
+        return make_conv(self.middle_kind, nf, 4, stride=2, padding=2,
+                         name=name)(h)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = []
-        h = make_conv(self.conv_kind, self.ndf, 4, stride=2, padding=2,
+        h = make_conv("default", self.ndf, 4, stride=2, padding=2,
                       name="conv0")(x)
         h = jax.nn.leaky_relu(h, 0.2)
         feats.append(h)
         nf = self.ndf
         for n in range(1, self.n_layers):
             nf = min(nf * 2, 512)
-            h = make_conv(self.conv_kind, nf, 4, stride=2, padding=2,
-                          name=f"conv{n}")(h)
+            h = self._middle(h, nf, f"conv{n}")
             h = norm_apply(self.norm, h, train, f"norm{n}")
             h = jax.nn.leaky_relu(h, 0.2)
             feats.append(h)
         nf = min(nf * 2, 512)
-        h = make_conv(self.conv_kind, nf, 4, stride=1, padding=2,
+        h = make_conv("default", nf, 4, stride=1, padding=2,
                       name=f"conv{self.n_layers}")(h)
         h = norm_apply(self.norm, h, train, f"norm{self.n_layers}")
         h = jax.nn.leaky_relu(h, 0.2)
         feats.append(h)
-        score = make_conv(self.conv_kind, 1, 4, stride=1, padding=2,
+        score = make_conv("default", 1, 4, stride=1, padding=2,
                           name="conv_score")(h)
         return score, feats
 
 
 class MultidilatedNLayerDiscriminator(NLayerDiscriminator):
-    """pix2pixhd.py:616-664."""
-    conv_kind: str = "multidilated"
+    """pix2pixhd.py:616-664 — only the middle stride-2 layers are
+    multidilated; conv0, the stride-1 layer and the score head stay plain
+    (reference :628-655)."""
+    middle_kind: str = "multidilated"
 
 
 # ---------------------------------------------------------------------------

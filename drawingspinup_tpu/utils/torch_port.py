@@ -276,6 +276,261 @@ def global_generator_key_map(n_downsampling: int = 3, n_blocks: int = 9):
     return entries
 
 
+def _resnet_block_entries(i: int, torch_idx: int, kind: str = "resnetblock",
+                          dilation: int = 1, dilation_num: int = 3,
+                          in_dim: bool = False):
+    """Entries for one bottleneck block at Sequential position ``torch_idx``.
+
+    kind: resnetblock | resnetblock5x5 | resnetblockdwdil (same torch
+    conv_block layout: [pad, conv, bn, act, pad, conv, bn] → 1/2/5/6) |
+    multidilatedresnetblock (conv_block [mdconv, bn, act, mdconv, bn] →
+    0/1/3/4, each mdconv a convs.{j} ModuleList)."""
+    tp = f"model.{torch_idx}.conv_block"
+    fb = f"block{i}"
+    if kind == "multidilatedresnetblock":
+        for cpos, cname, npos, nname in ((0, "conv1", 1, "norm1"),
+                                         (3, "conv2", 4, "norm2")):
+            for j in range(dilation_num):
+                yield (f"{tp}.{cpos}.convs.{j}.weight",
+                       (fb, cname, f"kernel{j}"), None, _conv_w)
+                yield (f"{tp}.{cpos}.convs.{j}.bias",
+                       (fb, cname, f"bias{j}"), None, np.asarray)
+            yield from _bn_at((fb, nname), f"{tp}.{npos}")
+        return
+    # plain / 5x5 / dilated blocks share the padded-Sequential layout;
+    # the flax param naming differs for dilation>1 (ResnetBlock._conv
+    # inlines the kernel as conv{k}_kernel instead of a conv{k} submodule)
+    for cpos, cname, npos, nname in ((1, "conv1", 2, "norm1"),
+                                     (5, "conv2", 6, "norm2")):
+        if kind == "resnetblockdwdil" and dilation != 1:
+            yield (f"{tp}.{cpos}.weight", (fb, f"{cname}_kernel"),
+                   None, _conv_w)
+            yield (f"{tp}.{cpos}.bias", (fb, f"{cname}_bias"),
+                   None, np.asarray)
+        else:
+            yield (f"{tp}.{cpos}.weight", (fb, cname, "kernel"),
+                   None, _conv_w)
+            yield (f"{tp}.{cpos}.bias", (fb, cname, "bias"),
+                   None, np.asarray)
+        yield from _bn_at((fb, nname), f"{tp}.{npos}")
+    if in_dim:
+        yield (f"model.{torch_idx}.input_conv.weight",
+               (fb, "input_conv_kernel"), None, _conv_w)
+        yield (f"model.{torch_idx}.input_conv.bias",
+               (fb, "input_conv_bias"), None, np.asarray)
+
+
+def _global_sequential_map(n_downsampling: int, blocks):
+    """Shared stem/downsample/upsample/head map of the pix2pixHD Sequential
+    generators (GlobalGenerator layout, pix2pixhd.py:341-436), with the
+    bottleneck section described by ``blocks``: a list of
+    (kind, dilation, dilation_num) per block."""
+    entries = []
+    entries.append(("model.1.weight", ("conv_in", "kernel"), None, _conv_w))
+    entries.append(("model.1.bias", ("conv_in", "bias"), None, np.asarray))
+    entries.extend(_bn_at(("norm_in",), "model.2"))
+    idx = 4
+    for i in range(n_downsampling):
+        entries.append((f"model.{idx}.weight", (f"down{i}", "kernel"),
+                        None, _conv_w))
+        entries.append((f"model.{idx}.bias", (f"down{i}", "bias"),
+                        None, np.asarray))
+        entries.extend(_bn_at((f"down{i}_norm",), f"model.{idx + 1}"))
+        idx += 3
+    for i, (kind, dilation, dilation_num) in enumerate(blocks):
+        entries.extend(_resnet_block_entries(i, idx, kind, dilation,
+                                             dilation_num))
+        idx += 1
+    for j in range(n_downsampling):
+        entries.append((f"model.{idx}.weight", (f"up{j}_kernel",),
+                        None, _convt_w))
+        entries.append((f"model.{idx}.bias", (f"up{j}_bias",),
+                        None, np.asarray))
+        entries.extend(_bn_at((f"up{j}_norm",), f"model.{idx + 1}"))
+        idx += 3
+    idx += 1  # ReflectionPad
+    entries.append((f"model.{idx}.weight", ("conv_out_kernel",),
+                    None, _conv_w))
+    entries.append((f"model.{idx}.bias", ("conv_out_bias",),
+                    None, np.asarray))
+    return entries
+
+
+def multidilated_global_generator_key_map(n_downsampling: int = 3,
+                                          n_blocks: int = 3,
+                                          dilation_num: int = 3):
+    """MultiDilatedGlobalGenerator (pix2pixhd.py:178-237): GlobalGenerator
+    layout with multidilated bottleneck blocks."""
+    return _global_sequential_map(
+        n_downsampling,
+        [("multidilatedresnetblock", 1, dilation_num)] * n_blocks)
+
+
+def expand_manual_block_spec(manual_block_spec, n_blocks: int = 3,
+                             resnet_block_kind: str = "multidilatedresnetblock",
+                             resnet_conv_kind: str = "multidilated",
+                             resnet_dilation: int = 1,
+                             dilation_num: int = 3):
+    """Expand a ConfigGlobalGenerator manual_block_spec (pix2pixhd.py:282-315
+    make_and_add_blocks semantics, incl. use_default) into the per-block
+    (kind, dilation, dilation_num) list both the flax module and the key map
+    consume."""
+    specs = [dict(s) for s in manual_block_spec] or [
+        {"n_blocks": n_blocks, "use_default": True}]
+    blocks = []
+    for spec in specs:
+        if spec.get("use_default"):
+            kind, dil = resnet_block_kind, resnet_dilation
+        else:
+            kind = spec.get("resnet_block_kind", resnet_block_kind)
+            dil = spec.get("resnet_dilation", resnet_dilation)
+            if dil is None:
+                dil = resnet_dilation
+        blocks += [(kind, dil, dilation_num)] * int(spec["n_blocks"])
+    return blocks
+
+
+def config_global_generator_key_map(n_downsampling: int = 3,
+                                    manual_block_spec=(), n_blocks: int = 3,
+                                    **spec_defaults):
+    """ConfigGlobalGenerator (pix2pixhd.py:239-326)."""
+    return _global_sequential_map(
+        n_downsampling,
+        expand_manual_block_spec(manual_block_spec, n_blocks,
+                                 **spec_defaults))
+
+
+def convert_config_global_generator(state_dict: Mapping[str, Any],
+                                    n_downsampling: int = 3,
+                                    manual_block_spec=(), n_blocks: int = 3,
+                                    strict: bool = True,
+                                    **spec_defaults) -> Dict[str, Dict]:
+    sd = {k: v for k, v in state_dict.items()
+          if not k.endswith("num_batches_tracked")}
+    return _convert_by_map(
+        config_global_generator_key_map(n_downsampling, manual_block_spec,
+                                        n_blocks, **spec_defaults),
+        sd, strict)
+
+
+def convert_multidilated_global_generator(state_dict: Mapping[str, Any],
+                                          n_downsampling: int = 3,
+                                          n_blocks: int = 3,
+                                          dilation_num: int = 3,
+                                          strict: bool = True):
+    sd = {k: v for k, v in state_dict.items()
+          if not k.endswith("num_batches_tracked")}
+    return _convert_by_map(
+        multidilated_global_generator_key_map(n_downsampling, n_blocks,
+                                              dilation_num), sd, strict)
+
+
+def superchannels_generator_key_map(n_downsampling: int = 3,
+                                    n_blocks: int = 6,
+                                    use_bias: bool = False):
+    """GlobalGeneratorFromSuperChannels (pix2pixhd.py:450-561). With bn
+    norms the stem/down/up convs carry no bias (use_bias gate :457-461);
+    block group boundaries add input_conv 1×1s."""
+    entries = []
+    entries.append(("model.1.weight", ("conv_in_kernel",), None, _conv_w))
+    if use_bias:
+        entries.append(("model.1.bias", ("conv_in_bias",), None, np.asarray))
+    entries.extend(_bn_at(("norm_in",), "model.2"))
+    idx = 4
+    for i in range(n_downsampling):
+        entries.append((f"model.{idx}.weight", (f"down{i}_kernel",),
+                        None, _conv_w))
+        if use_bias:
+            entries.append((f"model.{idx}.bias", (f"down{i}_bias",),
+                            None, np.asarray))
+        entries.extend(_bn_at((f"down{i}_norm",), f"model.{idx + 1}"))
+        idx += 3
+    n1 = n_blocks // 3
+    n2 = n1
+    n3 = n_blocks - n1 - n2
+    bi = 0
+    for gi, gn in enumerate((n1, n2, n3)):
+        for i in range(gn):
+            entries.extend(_resnet_block_entries(
+                bi, idx, "resnetblock", in_dim=(gi > 0 and i == 0)))
+            bi += 1
+            idx += 1
+    for j in range(n_downsampling):
+        entries.append((f"model.{idx}.weight", (f"up{j}_kernel",),
+                        None, _convt_w))
+        if use_bias:
+            entries.append((f"model.{idx}.bias", (f"up{j}_bias",),
+                            None, np.asarray))
+        entries.extend(_bn_at((f"up{j}_norm",), f"model.{idx + 1}"))
+        idx += 3
+    idx += 1
+    entries.append((f"model.{idx}.weight", ("conv_out_kernel",),
+                    None, _conv_w))
+    entries.append((f"model.{idx}.bias", ("conv_out_bias",),
+                    None, np.asarray))
+    return entries
+
+
+def convert_superchannels_generator(state_dict: Mapping[str, Any],
+                                    n_downsampling: int = 3,
+                                    n_blocks: int = 6,
+                                    use_bias: bool = False,
+                                    strict: bool = True) -> Dict[str, Dict]:
+    sd = {k: v for k, v in state_dict.items()
+          if not k.endswith("num_batches_tracked")}
+    return _convert_by_map(
+        superchannels_generator_key_map(n_downsampling, n_blocks, use_bias),
+        sd, strict)
+
+
+def nlayer_discriminator_key_map(n_layers: int = 3,
+                                 middle_kind: str = "default",
+                                 dilation_num: int = 2):
+    """pix2pixHD NLayerDiscriminator / MultidilatedNLayerDiscriminator
+    (pix2pixhd.py:565-613 / :616-664): model{n} Sequentials; the
+    multidilated variant swaps the middle stride-2 convs for
+    MultidilatedConv (convs.{j} ModuleList)."""
+    entries = []
+    entries.append(("model0.0.weight", ("conv0", "kernel"), None, _conv_w))
+    entries.append(("model0.0.bias", ("conv0", "bias"), None, np.asarray))
+    for n in range(1, n_layers):
+        if middle_kind == "multidilated":
+            for j in range(dilation_num):
+                entries.append((f"model{n}.0.convs.{j}.weight",
+                                (f"conv{n}", f"kernel{j}"), None, _conv_w))
+                entries.append((f"model{n}.0.convs.{j}.bias",
+                                (f"conv{n}", f"bias{j}"), None, np.asarray))
+        else:
+            entries.append((f"model{n}.0.weight", (f"conv{n}", "kernel"),
+                            None, _conv_w))
+            entries.append((f"model{n}.0.bias", (f"conv{n}", "bias"),
+                            None, np.asarray))
+        entries.extend(_bn_at((f"norm{n}",), f"model{n}.1"))
+    n = n_layers
+    entries.append((f"model{n}.0.weight", (f"conv{n}", "kernel"),
+                    None, _conv_w))
+    entries.append((f"model{n}.0.bias", (f"conv{n}", "bias"),
+                    None, np.asarray))
+    entries.extend(_bn_at((f"norm{n}",), f"model{n}.1"))
+    entries.append((f"model{n + 1}.0.weight", ("conv_score", "kernel"),
+                    None, _conv_w))
+    entries.append((f"model{n + 1}.0.bias", ("conv_score", "bias"),
+                    None, np.asarray))
+    return entries
+
+
+def convert_nlayer_discriminator(state_dict: Mapping[str, Any],
+                                 n_layers: int = 3,
+                                 middle_kind: str = "default",
+                                 dilation_num: int = 2,
+                                 strict: bool = True) -> Dict[str, Dict]:
+    sd = {k: v for k, v in state_dict.items()
+          if not k.endswith("num_batches_tracked")}
+    return _convert_by_map(
+        nlayer_discriminator_key_map(n_layers, middle_kind, dilation_num),
+        sd, strict)
+
+
 def convert_global_generator(state_dict: Mapping[str, Any],
                              n_downsampling: int = 3, n_blocks: int = 9,
                              strict: bool = True) -> Dict[str, Dict]:

@@ -35,7 +35,8 @@ class TestPix2PixHD:
     def test_superchannels_generator(self, rng):
         from drawingspinup_tpu.models.pix2pixhd import GlobalGeneratorFromSuperChannels
         g = GlobalGeneratorFromSuperChannels(
-            output_nc=3, channels=(8, 16, 32, 16, 8, 8), n_blocks=1)
+            output_nc=3, super_channels=(8, 16, 32, 64, 64, 64, 128, 64, 96),
+            n_downsampling=3, n_blocks=6)
         x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
         y = g.apply(g.init(jax.random.PRNGKey(0), x), x)
         assert y.shape == (1, 16, 16, 3)

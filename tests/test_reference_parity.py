@@ -414,3 +414,292 @@ class TestRICOffsetFieldParity:
         ours = ric_sample_positions(H, W)
         err = np.abs(ours - ref_pos).max()
         assert err < 1e-3, f"RIC offset-field parity error {err}"
+
+
+# ---------------------------------------------------------------------------
+# pix2pixHD multidilated family (round-2b additions)
+# ---------------------------------------------------------------------------
+
+def _ref_pix2pixhd():
+    oracle._stub_kornia()
+    import sys
+    if str(oracle.STAGE1) not in sys.path:
+        sys.path.insert(0, str(oracle.STAGE1))
+    from saicinpainting.training.modules import pix2pixhd as ref
+    return ref
+
+
+def _ref_mdconv():
+    _ref_pix2pixhd()
+    from saicinpainting.training.modules.multidilated_conv import (
+        MultidilatedConv)
+    return MultidilatedConv
+
+
+class TestMultidilatedConvParity:
+    """multidilated_conv.py:6-98 — the op itself, in the reference's two
+    realizable comb modes."""
+
+    def _run(self, tm, x_nchw, flax_mod):
+        _randomize_(tm, seed=3)
+        tm.eval()
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x_nchw)).numpy()
+        sd = _to_numpy_sd(tm)
+        n = len([k for k in sd if k.endswith(".weight")])
+        params = {}
+        for j in range(n):
+            params[f"kernel{j}"] = jnp.asarray(
+                sd[f"convs.{j}.weight"].transpose(2, 3, 1, 0))
+            params[f"bias{j}"] = jnp.asarray(sd[f"convs.{j}.bias"])
+        got = flax_mod.apply({"params": params},
+                             jnp.asarray(x_nchw.transpose(0, 2, 3, 1)))
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        assert got.shape == want.shape, (got.shape, want.shape)
+        err = np.abs(got - want).max()
+        assert err < 1e-5, f"MultidilatedConv parity error {err}"
+
+    def test_sum_mode_reflect(self):
+        """Default comb_mode='sum' with padding_mode=reflect — the exact
+        configuration MultidilatedResnetBlock instantiates (:60-75)."""
+        MD = _ref_mdconv()
+        tm = MD(8, 8, kernel_size=3, padding_mode="reflect")
+        from drawingspinup_tpu.models.pix2pixhd import MultiDilatedConv
+        x = np.random.default_rng(0).standard_normal(
+            (2, 8, 17, 17)).astype(np.float32)
+        self._run(tm, x, MultiDilatedConv(8, 3, padding_mode="reflect"))
+
+    def test_cat_out_mode_interleave(self):
+        """comb_mode='cat_out' re-orders the concat by the interleave index
+        (:15-18, :95-96) — output channel k cycles through the branches."""
+        MD = _ref_mdconv()
+        tm = MD(6, 9, kernel_size=3, comb_mode="cat_out", equal_dim=True)
+        from drawingspinup_tpu.models.pix2pixhd import MultiDilatedConv
+        x = np.random.default_rng(1).standard_normal(
+            (1, 6, 13, 13)).astype(np.float32)
+        self._run(tm, x, MultiDilatedConv(9, 3, comb_mode="cat_out"))
+
+    def test_explicit_padding_list(self):
+        """The per-branch padding list form (reference :53-56). The
+        discriminator's own [2, 3] list is spatially INCONSISTENT for any
+        dilation_num ≥ 2 (branch outputs differ in H/W and the reference
+        crashes on sum/cat) — oracle the list plumbing with a consistent
+        one: k=3 s=1, paddings [1, 2] against dilations [1, 2]."""
+        MD = _ref_mdconv()
+        tm = MD(8, 8, kernel_size=3, stride=1, padding=[1, 2],
+                dilation_num=2)
+        from drawingspinup_tpu.models.pix2pixhd import MultiDilatedConv
+        x = np.random.default_rng(2).standard_normal(
+            (1, 8, 16, 16)).astype(np.float32)
+        self._run(tm, x, MultiDilatedConv(8, 3, stride=1, padding=(1, 2),
+                                          dilation_num=2))
+
+
+class TestMultiDilatedGlobalGeneratorParity:
+    def test_forward_parity(self):
+        ref = _ref_pix2pixhd()
+        tm = ref.MultiDilatedGlobalGenerator(
+            input_nc=4, output_nc=1, ngf=16, n_downsampling=2, n_blocks=2,
+            add_out_act="sigmoid")
+        _randomize_(tm, seed=23)
+        tm.eval()
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((1, 4, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+
+        from drawingspinup_tpu.models.pix2pixhd import (
+            MultiDilatedGlobalGenerator)
+        fm = MultiDilatedGlobalGenerator(output_nc=1, ngf=16,
+                                         n_downsampling=2, n_blocks=2,
+                                         out_act="sigmoid")
+        variables = torch_port.convert_multidilated_global_generator(
+            _to_numpy_sd(tm), n_downsampling=2, n_blocks=2)
+        got = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       train=False)
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        assert got.shape == want.shape
+        err = np.abs(got - want).max()
+        assert err < 1e-4, f"MultiDilatedGlobalGenerator parity error {err}"
+
+    def test_port_covers_all_torch_params(self):
+        ref = _ref_pix2pixhd()
+        tm = ref.MultiDilatedGlobalGenerator(input_nc=4, output_nc=1, ngf=16,
+                                             n_downsampling=2, n_blocks=2)
+        sd_keys = {k for k in tm.state_dict()
+                   if not k.endswith("num_batches_tracked")}
+        mapped = {e[0] for e in
+                  torch_port.multidilated_global_generator_key_map(2, 2)}
+        missing = sd_keys - mapped
+        assert not missing, f"unmapped torch keys: {sorted(missing)[:10]}"
+
+
+class TestConfigGlobalGeneratorParity:
+    """The per-instance block SCHEDULE parser (pix2pixhd.py:239-326) against
+    the reference, over a spec mixing all four block kinds. (The reference's
+    use_default path hits an UnboundLocalError in make_and_add_blocks — a
+    latent closure bug — so explicit specs are the only oracle-able form.)"""
+
+    SPEC = (
+        {"n_blocks": 1, "use_default": False,
+         "resnet_block_kind": "resnetblock",
+         "resnet_conv_kind": "default", "resnet_dilation": 1,
+         "multidilation_kwargs": {}},
+        {"n_blocks": 2, "use_default": False,
+         "resnet_block_kind": "multidilatedresnetblock",
+         "resnet_conv_kind": "multidilated", "resnet_dilation": 1,
+         "multidilation_kwargs": {}},
+        {"n_blocks": 1, "use_default": False,
+         "resnet_block_kind": "resnetblock5x5",
+         "resnet_conv_kind": "default", "resnet_dilation": 1,
+         "multidilation_kwargs": {}},
+        {"n_blocks": 1, "use_default": False,
+         "resnet_block_kind": "resnetblockdwdil",
+         "resnet_conv_kind": "default", "resnet_dilation": 2,
+         "multidilation_kwargs": {}},
+    )
+
+    def _torch_model(self, ref):
+        return ref.ConfigGlobalGenerator(
+            input_nc=4, output_nc=1, ngf=16, n_downsampling=2,
+            manual_block_spec=[dict(s) for s in self.SPEC],
+            add_out_act="sigmoid")
+
+    def test_forward_parity(self):
+        ref = _ref_pix2pixhd()
+        tm = self._torch_model(ref)
+        _randomize_(tm, seed=29)
+        tm.eval()
+        rng = np.random.default_rng(6)
+        x = rng.standard_normal((1, 4, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+
+        from drawingspinup_tpu.models.pix2pixhd import ConfigGlobalGenerator
+        fm = ConfigGlobalGenerator(output_nc=1, ngf=16, n_downsampling=2,
+                                   manual_block_spec=self.SPEC,
+                                   out_act="sigmoid")
+        variables = torch_port.convert_config_global_generator(
+            _to_numpy_sd(tm), n_downsampling=2,
+            manual_block_spec=self.SPEC)
+        got = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       train=False)
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        assert got.shape == want.shape
+        err = np.abs(got - want).max()
+        assert err < 1e-4, f"ConfigGlobalGenerator parity error {err}"
+
+    def test_port_covers_all_torch_params(self):
+        ref = _ref_pix2pixhd()
+        tm = self._torch_model(ref)
+        sd_keys = {k for k in tm.state_dict()
+                   if not k.endswith("num_batches_tracked")}
+        mapped = {e[0] for e in torch_port.config_global_generator_key_map(
+            2, self.SPEC)}
+        missing = sd_keys - mapped
+        assert not missing, f"unmapped torch keys: {sorted(missing)[:10]}"
+
+
+class TestSuperChannelsGeneratorParity:
+    SC = (8, 16, 32, 64, 64, 64, 128, 64, 96)
+
+    def test_channel_schedule_matches_reference(self):
+        ref = _ref_pix2pixhd()
+        tm = ref.GlobalGeneratorFromSuperChannels(
+            input_nc=4, output_nc=1, n_downsampling=3, n_blocks=6,
+            super_channels=list(self.SC))
+        from drawingspinup_tpu.models.pix2pixhd import convert_super_channels
+        assert convert_super_channels(self.SC, 3) == list(tm.channels)
+
+    def test_forward_parity(self):
+        ref = _ref_pix2pixhd()
+        tm = ref.GlobalGeneratorFromSuperChannels(
+            input_nc=4, output_nc=1, n_downsampling=3, n_blocks=6,
+            super_channels=list(self.SC))
+        _randomize_(tm, seed=31)
+        tm.eval()
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((1, 4, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+
+        from drawingspinup_tpu.models.pix2pixhd import (
+            GlobalGeneratorFromSuperChannels)
+        fm = GlobalGeneratorFromSuperChannels(output_nc=1,
+                                              super_channels=self.SC,
+                                              n_downsampling=3, n_blocks=6)
+        variables = torch_port.convert_superchannels_generator(
+            _to_numpy_sd(tm), n_downsampling=3, n_blocks=6)
+        got = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       train=False)
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        assert got.shape == want.shape
+        err = np.abs(got - want).max()
+        assert err < 1e-4, f"SuperChannels generator parity error {err}"
+
+    def test_port_covers_all_torch_params(self):
+        ref = _ref_pix2pixhd()
+        tm = ref.GlobalGeneratorFromSuperChannels(
+            input_nc=4, output_nc=1, n_downsampling=3, n_blocks=6,
+            super_channels=list(self.SC))
+        sd_keys = {k for k in tm.state_dict()
+                   if not k.endswith("num_batches_tracked")}
+        mapped = {e[0] for e in
+                  torch_port.superchannels_generator_key_map(3, 6)}
+        missing = sd_keys - mapped
+        assert not missing, f"unmapped torch keys: {sorted(missing)[:10]}"
+
+
+class TestPix2PixHDDiscriminatorParity:
+    def test_nlayer_forward_parity(self):
+        ref = _ref_pix2pixhd()
+        tm = ref.NLayerDiscriminator(input_nc=4, ndf=16, n_layers=3)
+        _randomize_(tm, seed=37)
+        tm.eval()
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal((1, 4, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want_score, want_feats = tm(torch.from_numpy(x))
+
+        from drawingspinup_tpu.models.pix2pixhd import NLayerDiscriminator
+        fm = NLayerDiscriminator(ndf=16, n_layers=3)
+        variables = torch_port.convert_nlayer_discriminator(
+            _to_numpy_sd(tm), n_layers=3)
+        score, feats = fm.apply(variables,
+                                jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                train=False)
+        score = np.asarray(score).transpose(0, 3, 1, 2)
+        assert score.shape == want_score.numpy().shape
+        err = np.abs(score - want_score.numpy()).max()
+        assert err < 1e-4, f"NLayerDiscriminator parity error {err}"
+        assert len(feats) == len(want_feats)
+
+    def test_multidilated_forward_parity(self):
+        ref = _ref_pix2pixhd()
+        # dilation_num=1 is the ONLY runnable configuration of the reference
+        # class: its hard-coded padding=[2, 3] makes branch outputs spatially
+        # inconsistent for every dilation_num >= 2 (RuntimeError on sum)
+        tm = ref.MultidilatedNLayerDiscriminator(
+            input_nc=4, ndf=16, n_layers=3,
+            multidilation_kwargs={"dilation_num": 1})
+        _randomize_(tm, seed=41)
+        tm.eval()
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal((1, 4, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want_score, _ = tm(torch.from_numpy(x))
+
+        from drawingspinup_tpu.models.pix2pixhd import (
+            MultidilatedNLayerDiscriminator)
+        fm = MultidilatedNLayerDiscriminator(ndf=16, n_layers=3,
+                                             dilation_num=1)
+        variables = torch_port.convert_nlayer_discriminator(
+            _to_numpy_sd(tm), n_layers=3, middle_kind="multidilated",
+            dilation_num=1)
+        score, _ = fm.apply(variables,
+                            jnp.asarray(x.transpose(0, 2, 3, 1)),
+                            train=False)
+        score = np.asarray(score).transpose(0, 3, 1, 2)
+        assert score.shape == want_score.numpy().shape
+        err = np.abs(score - want_score.numpy()).max()
+        assert err < 1e-4, f"MultidilatedNLayerDiscriminator error {err}"
