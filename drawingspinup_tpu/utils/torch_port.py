@@ -531,6 +531,38 @@ def convert_nlayer_discriminator(state_dict: Mapping[str, Any],
         sd, strict)
 
 
+def ffc_nlayer_discriminator_key_map(n_layers: int = 3):
+    """FFCNLayerDiscriminator (reference ffc.py:369-432): model{n}
+    Sequentials of one FFC_BN_ACT each (+ ConcatTupleLayer at the last),
+    then a plain score conv at model{n_layers+1}.0."""
+    entries = []
+    for n in range(n_layers + 1):
+        entries.extend(_ffc_bn_act_entries((f"model{n}",), f"model{n}.0"))
+    tp = f"model{n_layers + 1}.0"
+    entries.append((tp + ".weight", (f"model{n_layers + 1}", "kernel"),
+                    None, _conv_w))
+    entries.append((tp + ".bias", (f"model{n_layers + 1}", "bias"),
+                    None, np.asarray))
+    return entries
+
+
+def convert_ffc_nlayer_discriminator(state_dict: Mapping[str, Any],
+                                     n_layers: int = 3) -> Dict[str, Dict]:
+    """Missing branch keys (zero-width convl2g/g2l/lfu per the ratios) are
+    skipped, like convert_ffc_generator."""
+    params: Dict = {}
+    stats: Dict = {}
+    for tkey, ppath, spath, tf in ffc_nlayer_discriminator_key_map(n_layers):
+        if tkey not in state_dict:
+            continue
+        val = tf(np.asarray(state_dict[tkey]))
+        if ppath is not None:
+            _set(params, ppath, val)
+        else:
+            _set(stats, spath, val)
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_global_generator(state_dict: Mapping[str, Any],
                              n_downsampling: int = 3, n_blocks: int = 9,
                              strict: bool = True) -> Dict[str, Dict]:

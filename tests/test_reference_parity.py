@@ -703,3 +703,55 @@ class TestPix2PixHDDiscriminatorParity:
         assert score.shape == want_score.numpy().shape
         err = np.abs(score - want_score.numpy()).max()
         assert err < 1e-4, f"MultidilatedNLayerDiscriminator error {err}"
+
+
+class TestFFCDiscriminatorParity:
+    """FFCNLayerDiscriminator (ffc.py:369-432) with mixed local/global
+    ratios (0 -> 0.5 init conv, 0.5/0.5 body) so the spectral branch is
+    exercised too."""
+
+    def test_forward_parity(self):
+        ref_ffc = oracle.import_reference_ffc()
+        tm = ref_ffc.FFCNLayerDiscriminator(
+            input_nc=4, ndf=16, n_layers=3,
+            init_conv_kwargs=dict(ratio_gin=0, ratio_gout=0.5,
+                                  enable_lfu=False),
+            conv_kwargs=dict(ratio_gin=0.5, ratio_gout=0.5,
+                             enable_lfu=False))
+        _randomize_(tm, seed=43)
+        tm.eval()
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((1, 4, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want_score, want_feats = tm(torch.from_numpy(x))
+
+        from drawingspinup_tpu.models.ffc import FFCNLayerDiscriminator
+        fm = FFCNLayerDiscriminator(ndf=16, n_layers=3,
+                                    init_ratio_gin=0.0, init_ratio_gout=0.5,
+                                    ratio_gin=0.5, ratio_gout=0.5,
+                                    enable_lfu=False)
+        variables = torch_port.convert_ffc_nlayer_discriminator(
+            _to_numpy_sd(tm), n_layers=3)
+        score, feats = fm.apply(variables,
+                                jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                train=False)
+        score = np.asarray(score).transpose(0, 3, 1, 2)
+        assert score.shape == want_score.numpy().shape
+        err = np.abs(score - want_score.numpy()).max()
+        assert err < 1e-3, f"FFCNLayerDiscriminator parity error {err}"
+        assert len(feats) == len(want_feats)
+
+    def test_port_covers_all_torch_params(self):
+        ref_ffc = oracle.import_reference_ffc()
+        tm = ref_ffc.FFCNLayerDiscriminator(
+            input_nc=4, ndf=16, n_layers=3,
+            init_conv_kwargs=dict(ratio_gin=0, ratio_gout=0.5,
+                                  enable_lfu=False),
+            conv_kwargs=dict(ratio_gin=0.5, ratio_gout=0.5,
+                             enable_lfu=False))
+        sd_keys = {k for k in tm.state_dict()
+                   if not k.endswith("num_batches_tracked")}
+        mapped = {e[0] for e in
+                  torch_port.ffc_nlayer_discriminator_key_map(3)}
+        missing = sd_keys - mapped
+        assert not missing, f"unmapped torch keys: {sorted(missing)[:10]}"
