@@ -128,3 +128,66 @@ def import_reference_criterions():
     """2_charactor_reconstructor/instant_nsr/systems/criterions.py."""
     return _import_file("ref_criterions",
                         STAGE2 / "instant_nsr" / "systems" / "criterions.py")
+
+
+def _stub_tcnn_pl_omegaconf() -> None:
+    """Stubs for instant_nsr.models.network_utils's module-scope imports:
+    tinycudann (never touched by VanillaMLP), pytorch_lightning's rank_zero
+    logging, and omegaconf (config_to_primitive is unused by VanillaMLP)."""
+    if "tinycudann" not in sys.modules:
+        tcnn = types.ModuleType("tinycudann")
+
+        def _unavailable(*a, **k):
+            raise NotImplementedError("tinycudann stub")
+
+        tcnn.Encoding = _unavailable
+        tcnn.Network = _unavailable
+        tcnn.free_temporary_memory = lambda: None
+        sys.modules["tinycudann"] = tcnn
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+        utilities = types.ModuleType("pytorch_lightning.utilities")
+        rank_zero = types.ModuleType("pytorch_lightning.utilities.rank_zero")
+        rank_zero.rank_zero_debug = lambda *a, **k: None
+        rank_zero.rank_zero_info = lambda *a, **k: None
+        utilities.rank_zero = rank_zero
+        pl.utilities = utilities
+        sys.modules["pytorch_lightning"] = pl
+        sys.modules["pytorch_lightning.utilities"] = utilities
+        sys.modules["pytorch_lightning.utilities.rank_zero"] = rank_zero
+    if "omegaconf" not in sys.modules:
+        om = types.ModuleType("omegaconf")
+
+        class OmegaConf:
+            @staticmethod
+            def to_container(cfg, resolve=True):
+                return cfg
+
+        om.OmegaConf = OmegaConf
+        sys.modules["omegaconf"] = om
+
+
+def import_reference_network_utils():
+    """2_charactor_reconstructor/instant_nsr/models/network_utils.py
+    (VanillaMLP & co), with its instant_nsr sibling imports loaded directly
+    from file under stubbed externals."""
+    _stub_tcnn_pl_omegaconf()
+    base = STAGE2 / "instant_nsr"
+    pkg = types.ModuleType("instant_nsr")
+    pkg.__path__ = [str(base)]
+    sys.modules.setdefault("instant_nsr", pkg)
+    for sub in ("utils", "models", "systems"):
+        name = f"instant_nsr.{sub}"
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = [str(base / sub)]
+            sys.modules[name] = m
+    if "instant_nsr.utils.misc" not in sys.modules:
+        _import_file("instant_nsr.utils.misc", base / "utils" / "misc.py")
+    if "instant_nsr.models.utils" not in sys.modules:
+        _import_file("instant_nsr.models.utils", base / "models" / "utils.py")
+    if "instant_nsr.systems.utils" not in sys.modules:
+        _import_file("instant_nsr.systems.utils",
+                     base / "systems" / "utils.py")
+    return _import_file("instant_nsr.models.network_utils",
+                        base / "models" / "network_utils.py")

@@ -755,3 +755,75 @@ class TestFFCDiscriminatorParity:
                   torch_port.ffc_nlayer_discriminator_key_map(3)}
         missing = sd_keys - mapped
         assert not missing, f"unmapped torch keys: {sorted(missing)[:10]}"
+
+
+class TestVanillaMLPParity:
+    """The SDF field's MLP (network_utils.py:94-138): sphere init + weight
+    norm + softplus(β=100) — the geometry-critical module of stage 2b."""
+
+    CFG = dict(n_neurons=64, n_hidden_layers=1, sphere_init=True,
+               weight_norm=True, sphere_init_radius=0.5,
+               output_activation="none")
+
+    def test_forward_parity_with_ported_weights(self):
+        nu = oracle.import_reference_network_utils()
+        tm = nu.VanillaMLP(16, 13, dict(self.CFG))
+        tm.eval()
+
+        from drawingspinup_tpu.models.fields import (MLPConfig, apply_mlp)
+        cfg = MLPConfig(n_neurons=64, n_hidden_layers=1, sphere_init=True,
+                        weight_norm=True, output_activation=None)
+        sd = _to_numpy_sd(tm)
+        layers = []
+        for idx in (0, 2):
+            layers.append({
+                "w": jnp.asarray(sd[f"layers.{idx}.weight_v"].T),
+                "g": jnp.asarray(sd[f"layers.{idx}.weight_g"].reshape(-1)),
+                "b": jnp.asarray(sd[f"layers.{idx}.bias"]),
+            })
+        params = {"layers": layers}
+
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((32, 16)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+        got = np.asarray(apply_mlp(cfg, params, jnp.asarray(x)))
+        assert got.shape == want.shape
+        err = np.abs(got - want).max()
+        assert err < 1e-5, f"VanillaMLP parity error {err}"
+
+    def test_sphere_init_statistics_match(self):
+        """Our init_mlp reproduces the reference's sphere-init distribution:
+        last layer ~N(sqrt(pi)/sqrt(din), 1e-4) with bias -radius; first
+        layer zero beyond column 3 with N(0, sqrt(2)/sqrt(dout)) on xyz."""
+        nu = oracle.import_reference_network_utils()
+        torch.manual_seed(0)
+        tm = nu.VanillaMLP(35, 13, dict(self.CFG))
+        sd = _to_numpy_sd(tm)
+
+        import jax
+        from drawingspinup_tpu.models.fields import MLPConfig, init_mlp
+        cfg = MLPConfig(n_neurons=64, n_hidden_layers=1, sphere_init=True,
+                        weight_norm=True, output_activation=None)
+        ours = init_mlp(cfg, 35, 13, jax.random.PRNGKey(0))
+
+        # first layer: columns >=3 of v are exactly zero on both sides
+        v0_ref = sd["layers.0.weight_v"]          # (64, 35)
+        w0 = np.asarray(ours["layers"][0]["w"])   # (35, 64)
+        assert np.all(v0_ref[:, 3:] == 0)
+        assert np.all(w0[3:, :] == 0)
+        assert abs(v0_ref[:, :3].std() - w0[:3, :].std()) < 0.05
+        # last layer: tight normal around sqrt(pi)/sqrt(din), bias -radius
+        vl_ref = sd["layers.2.weight_v"]
+        wl = np.asarray(ours["layers"][1]["w"])
+        want_mean = np.sqrt(np.pi) / np.sqrt(64)
+        assert abs(vl_ref.mean() - want_mean) < 1e-3
+        assert abs(wl.mean() - want_mean) < 1e-3
+        assert vl_ref.std() < 2e-4 and wl.std() < 2e-4
+        assert np.allclose(sd["layers.2.bias"], -0.5)
+        assert np.allclose(np.asarray(ours["layers"][1]["b"]), -0.5)
+        # weight-norm gains equal the column norms at init on both sides
+        g_ref = sd["layers.0.weight_g"].reshape(-1)
+        assert np.allclose(g_ref, np.linalg.norm(v0_ref, axis=1), atol=1e-5)
+        g_ours = np.asarray(ours["layers"][0]["g"])
+        assert np.allclose(g_ours, np.linalg.norm(w0, axis=0), atol=1e-5)
