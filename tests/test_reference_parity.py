@@ -827,3 +827,108 @@ class TestVanillaMLPParity:
         assert np.allclose(g_ref, np.linalg.norm(v0_ref, axis=1), atol=1e-5)
         g_ours = np.asarray(ours["layers"][0]["g"])
         assert np.allclose(g_ours, np.linalg.norm(w0, axis=0), atol=1e-5)
+
+
+class TestOrthoRayOracle:
+    """Ortho ray generation (ray_utils.py:20-58) vs render/cameras.py."""
+
+    def test_rays_match_reference(self):
+        nu = oracle.import_reference_network_utils()  # ensures pkg stubs
+        ru = oracle._import_file(
+            "instant_nsr.models.ray_utils",
+            oracle.STAGE2 / "instant_nsr" / "models" / "ray_utils.py")
+        W = H = 17
+        o_ref, d_ref = ru.get_ortho_ray_directions_origins(W, H)
+        rng = np.random.default_rng(21)
+        # a valid rotation + translation
+        q = np.linalg.qr(rng.standard_normal((3, 3)))[0].astype(np.float32)
+        c2w = np.concatenate([q, rng.standard_normal((3, 1)).astype(
+            np.float32)], axis=1)  # (3, 4)
+        c2w_t = torch.eye(4)
+        c2w_t[:3] = torch.from_numpy(c2w)
+        ro_ref, rd_ref = ru.get_ortho_rays(o_ref, d_ref,
+                                           c2w_t, keepdim=True)
+
+        from drawingspinup_tpu.render.cameras import (ortho_ray_grid,
+                                                      rays_to_world)
+        o, d = ortho_ray_grid(W, H)
+        assert np.abs(o - o_ref.numpy()).max() < 1e-6
+        assert np.abs(d - d_ref.numpy()).max() < 1e-6
+        ro, rd = rays_to_world(o, d, c2w[None, None])
+        assert np.abs(ro - ro_ref.numpy()).max() < 1e-5
+        assert np.abs(rd - rd_ref.numpy()).max() < 1e-5
+
+
+class TestLRScheduleOracle:
+    """The recon optimizer's LR trajectory vs the reference's own
+    parse_scheduler composition (systems/utils.py:313-345 with
+    neuralangelo-ortho-wmask.yaml:100-127 knobs: AdamW groups
+    geometry 1e-3 / texture 1e-2 / variance 1e-3, ConstantLR(1.0, 500) →
+    ExponentialLR(0.1^(1/2500)) at milestone 500, stepped per step)."""
+
+    class _Cfg(dict):
+        def __getattr__(self, k):
+            v = self[k]
+            return TestLRScheduleOracle._Cfg(v) if isinstance(v, dict) else v
+
+    def test_lr_trajectory_matches(self):
+        oracle.import_reference_network_utils()
+        import instant_nsr.systems.utils as su
+
+        lin = torch.nn.Linear(2, 2)
+        groups = [
+            {"params": [torch.nn.Parameter(torch.zeros(1))],
+             "name": "geometry", "lr": 1e-3},
+            {"params": [torch.nn.Parameter(torch.zeros(1))],
+             "name": "texture", "lr": 1e-2},
+            {"params": [torch.nn.Parameter(torch.zeros(1))],
+             "name": "variance", "lr": 1e-3},
+        ]
+        optim = torch.optim.AdamW(groups, lr=0.01, betas=(0.9, 0.99),
+                                  eps=1e-15)
+        max_steps, constant_steps = 3000, 500
+        gamma = 0.1 ** (1.0 / (max_steps - constant_steps))
+        cfg = self._Cfg({
+            "name": "SequentialLR", "interval": "step",
+            "milestones": [constant_steps],
+            "schedulers": [
+                {"name": "ConstantLR",
+                 "args": {"factor": 1.0, "total_iters": constant_steps}},
+                {"name": "ExponentialLR", "args": {"gamma": gamma}},
+            ],
+        })
+        # parse_scheduler recurses with dicts that need .name/.get/.args
+        def _wrap(c):
+            if isinstance(c, dict):
+                return self._Cfg({k: ([_wrap(x) for x in v]
+                                      if isinstance(v, list) else _wrap(v))
+                                  for k, v in c.items()})
+            return c
+        sched = su.parse_scheduler(_wrap(dict(cfg)), optim)["scheduler"]
+
+        probe = [0, 1, 250, 499, 500, 501, 1000, 2000, 2999]
+        ref_lrs = {}
+        for s in range(max_steps):
+            if s in probe:
+                ref_lrs[s] = [g["lr"] for g in optim.param_groups]
+            optim.step()
+            sched.step()
+
+        from drawingspinup_tpu.train.nsr import NSRConfig, make_optimizer
+        ncfg = NSRConfig()
+        assert (ncfg.max_steps, ncfg.constant_steps) == (3000, 500)
+        decay_steps = ncfg.max_steps - ncfg.constant_steps
+        g2 = ncfg.lr_decay_target ** (1.0 / decay_steps)
+        assert abs(g2 - gamma) < 1e-12
+
+        def ours(base_lr, s):
+            if s < ncfg.constant_steps:
+                return base_lr
+            return base_lr * g2 ** (s - ncfg.constant_steps)
+
+        for s, lrs in ref_lrs.items():
+            for base, got_ref in zip((ncfg.lr_geometry, ncfg.lr_texture,
+                                      ncfg.lr_variance), lrs):
+                want = ours(base, s)
+                assert abs(want - got_ref) / max(got_ref, 1e-12) < 1e-6, (
+                    f"step {s}: ours {want} vs reference {got_ref}")
