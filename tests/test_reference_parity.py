@@ -932,3 +932,60 @@ class TestLRScheduleOracle:
                 want = ours(base, s)
                 assert abs(want - got_ref) / max(got_ref, 1e-12) < 1e-6, (
                     f"step {s}: ours {want} vs reference {got_ref}")
+
+
+class TestSingleImageDatasetOracle:
+    """Stage-2a conditioning math vs the REAL SingleImageDataset
+    (single_image_dataset.py:16-185) with the reference's own fixed-pose txt
+    files: Δelevation/Δazimuth per view + task one-hots, assembled in the
+    mv.py:70-75 layout (normals stack then colors stack)."""
+
+    def test_camera_task_embeddings_match(self, monkeypatch):
+        import sys
+        stage2 = str(oracle.STAGE2)
+        if stage2 not in sys.path:
+            sys.path.insert(0, stage2)
+        monkeypatch.chdir(stage2)  # fix_cam_pose_dir is relative
+        from PIL import Image
+        from mvdiffusion.data.single_image_dataset import SingleImageDataset
+
+        rgba = np.zeros((64, 64, 4), np.uint8)
+        rgba[16:48, 16:48] = (200, 64, 32, 255)
+        ds = SingleImageDataset(num_views=6, img_wh=(256, 256),
+                                bg_color="white", crop_size=-1,
+                                single_image=Image.fromarray(rgba, "RGBA"))
+        item = ds[0]
+        cam = item["camera_embeddings"].numpy()            # (6, 3)
+        nt = item["normal_task_embeddings"].numpy()        # (6, 2)
+        ct = item["color_task_embeddings"].numpy()         # (6, 2)
+        want = np.concatenate([
+            np.concatenate([cam, nt], axis=-1),
+            np.concatenate([cam, ct], axis=-1)], axis=0)   # (12, 5)
+
+        from drawingspinup_tpu.pipelines.stage2_mv import (
+            camera_task_embeddings)
+        views = ["front", "front_right", "right", "back", "left",
+                 "front_left"]
+        got = camera_task_embeddings(views)
+        assert got.shape == want.shape
+        err = np.abs(got - want).max()
+        assert err < 1e-5, f"camera/task embedding parity error {err}"
+
+    def test_white_bg_compositing_matches(self, monkeypatch):
+        import sys
+        stage2 = str(oracle.STAGE2)
+        if stage2 not in sys.path:
+            sys.path.insert(0, stage2)
+        monkeypatch.chdir(stage2)
+        from PIL import Image
+        from mvdiffusion.data.single_image_dataset import SingleImageDataset
+
+        rng = np.random.default_rng(33)
+        rgba = rng.integers(0, 255, (256, 256, 4), dtype=np.uint8)
+        ds = SingleImageDataset(num_views=6, img_wh=(256, 256),
+                                bg_color="white", crop_size=-1,
+                                single_image=Image.fromarray(rgba, "RGBA"))
+        want = ds[0]["imgs_in"][0].numpy().transpose(1, 2, 0)  # (H, W, 3)
+        img = rgba.astype(np.float32) / 255.0
+        ours = img[..., :3] * img[..., 3:4] + 1.0 * (1 - img[..., 3:4])
+        assert np.abs(ours - want).max() < 1e-6
