@@ -70,7 +70,8 @@ def _trunc_exp_fwd(x):
 
 
 def _trunc_exp_bwd(x, g):
-    return (g * jnp.exp(jnp.clip(x, -15.0, 15.0)),)
+    # reference models/utils.py:65 clamps only the MAX (torch.clamp(x, max=15))
+    return (g * jnp.exp(jnp.minimum(x, 15.0)),)
 
 
 trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)

@@ -989,3 +989,27 @@ class TestSingleImageDatasetOracle:
         img = rgba.astype(np.float32) / 255.0
         ours = img[..., :3] * img[..., 3:4] + 1.0 * (1 - img[..., 3:4])
         assert np.abs(ours - want).max() < 1e-6
+
+
+class TestTruncExpOracle:
+    def test_forward_and_clamped_gradient(self):
+        """trunc_exp (models/utils.py:52-67): exp forward, backward clamps
+        the saved input at max=15 only."""
+        oracle.import_reference_network_utils()
+        mu = sys_modules_get("instant_nsr.models.utils")
+        x_np = np.array([-30.0, -5.0, 0.0, 5.0, 14.9, 16.0, 40.0], np.float32)
+        xt = torch.tensor(x_np, requires_grad=True)
+        yt = mu.trunc_exp(xt)
+        yt.backward(torch.ones_like(yt))
+        import jax
+        from drawingspinup_tpu.models.encodings import trunc_exp
+        y = np.asarray(trunc_exp(jnp.asarray(x_np)))
+        g = np.asarray(jax.grad(lambda v: jnp.sum(trunc_exp(v)))(
+            jnp.asarray(x_np)))
+        assert np.allclose(y, yt.detach().numpy(), rtol=1e-6)
+        assert np.allclose(g, xt.grad.numpy(), rtol=1e-5), (g, xt.grad)
+
+
+def sys_modules_get(name):
+    import sys
+    return sys.modules[name]
