@@ -1013,3 +1013,28 @@ class TestTruncExpOracle:
 def sys_modules_get(name):
     import sys
     return sys.modules[name]
+
+
+class TestVanillaFrequencyOracle:
+    def test_encoding_and_mask_match(self):
+        """VanillaFrequency (network_utils.py:13-36): band order, the
+        [sin, cos] func interleave, and the cosine-annealed masking curve."""
+        nu = oracle.import_reference_network_utils()
+        tm = nu.VanillaFrequency(3, dict(n_frequencies=4, n_masking_step=6))
+        rng = np.random.default_rng(44)
+        x = rng.standard_normal((5, 3)).astype(np.float32)
+
+        from drawingspinup_tpu.models.encodings import (vanilla_frequency,
+                                                        frequency_mask)
+        for step in (0, 1, 3, 5, 6, 99):
+            tm.update_step(None, step)
+            with torch.no_grad():
+                want = tm(torch.from_numpy(x)).numpy()
+            m = np.asarray(frequency_mask(4, jnp.asarray(step), 6))
+            assert np.allclose(m, tm.mask.numpy(), atol=1e-6), step
+            got = np.asarray(vanilla_frequency(jnp.asarray(x), 4,
+                                               jnp.asarray(m)))
+            # reference emits [sin f0, cos f0, sin f1, ...] per concat order
+            assert got.shape == want.shape
+            err = np.abs(got - want).max()
+            assert err < 1e-5, f"step {step}: frequency PE error {err}"
