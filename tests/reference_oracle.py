@@ -191,3 +191,47 @@ def import_reference_network_utils():
                      base / "systems" / "utils.py")
     return _import_file("instant_nsr.models.network_utils",
                         base / "models" / "network_utils.py")
+
+
+def import_reference_mv_processors():
+    """Extract my_repeat + the (non-xformers and xformers) MV/Joint attention
+    processors from mvdiffusion/models/transformer_mv2d.py WITHOUT importing
+    the module (its top-level diffusers imports are unavailable offline).
+
+    Only the reference's own class/function source is executed; the namespace
+    supplies torch/einops plus a faithful double of xformers'
+    memory_efficient_attention (plain softmax(qk^T/sqrt(d))v — its public
+    contract) for the xformers variants. The diffusers ``Attention`` object
+    the processors receive is provided by the TEST as a double of the stable
+    public API (to_q/k/v, head_to_batch_dim, get_attention_scores, ...)."""
+    import ast
+
+    import torch
+    from einops import rearrange, repeat
+
+    src = (STAGE2 / "mvdiffusion" / "models" /
+           "transformer_mv2d.py").read_text()
+    tree = ast.parse(src)
+    wanted = {"my_repeat", "MVAttnProcessor", "JointAttnProcessor",
+              "XFormersMVAttnProcessor", "XFormersJointAttnProcessor"}
+    nodes = [n for n in tree.body
+             if isinstance(n, (ast.FunctionDef, ast.ClassDef))
+             and n.name in wanted]
+    assert {n.name for n in nodes} == wanted, {n.name for n in nodes}
+
+    class _XFormersOps:
+        @staticmethod
+        def memory_efficient_attention(q, k, v, attn_bias=None):
+            assert attn_bias is None
+            scale = q.shape[-1] ** -0.5
+            probs = torch.softmax(q @ k.transpose(-1, -2) * scale, dim=-1)
+            return probs @ v
+
+    xformers = types.ModuleType("xformers")
+    xformers.ops = _XFormersOps()
+
+    ns = {"torch": torch, "rearrange": rearrange, "repeat": repeat,
+          "xformers": xformers, "Attention": object, "F": torch.nn.functional}
+    code = ast.Module(body=nodes, type_ignores=[])
+    exec(compile(code, "<ref transformer_mv2d extract>", "exec"), ns)
+    return types.SimpleNamespace(**{n.name: ns[n.name] for n in nodes})

@@ -1038,3 +1038,113 @@ class TestVanillaFrequencyOracle:
             assert got.shape == want.shape
             err = np.abs(got - want).max()
             assert err < 1e-5, f"step {step}: frequency PE error {err}"
+
+
+class _AttnDouble(torch.nn.Module):
+    """Faithful double of the diffusers ``Attention`` public API surface the
+    reference processors touch (to_q/k/v bias-free, to_out [linear, dropout],
+    head_to_batch_dim / batch_to_head_dim heads-major split,
+    get_attention_scores = softmax(scale·qkᵀ)). The NOVEL math under test
+    (view/domain K/V folds) executes from the reference's own source."""
+
+    def __init__(self, dim, heads, seed):
+        super().__init__()
+        g = torch.Generator().manual_seed(seed)
+        self.heads = heads
+        self.scale = (dim // heads) ** -0.5
+        self.to_q = torch.nn.Linear(dim, dim, bias=False)
+        self.to_k = torch.nn.Linear(dim, dim, bias=False)
+        self.to_v = torch.nn.Linear(dim, dim, bias=False)
+        self.to_out = torch.nn.ModuleList(
+            [torch.nn.Linear(dim, dim), torch.nn.Dropout(0.0)])
+        with torch.no_grad():
+            for p in self.parameters():
+                p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+        self.spatial_norm = None
+        self.group_norm = None
+        self.norm_cross = False
+        self.residual_connection = False
+        self.rescale_output_factor = 1.0
+
+    def prepare_attention_mask(self, mask, seq_len, batch):
+        assert mask is None
+        return None
+
+    def head_to_batch_dim(self, x):
+        b, s, c = x.shape
+        d = c // self.heads
+        return (x.reshape(b, s, self.heads, d).permute(0, 2, 1, 3)
+                .reshape(b * self.heads, s, d))
+
+    def batch_to_head_dim(self, x):
+        bh, s, d = x.shape
+        b = bh // self.heads
+        return (x.reshape(b, self.heads, s, d).permute(0, 2, 1, 3)
+                .reshape(b, s, self.heads * d))
+
+    def get_attention_scores(self, q, k, mask=None):
+        assert mask is None
+        return torch.softmax(q @ k.transpose(-1, -2) * self.scale, dim=-1)
+
+
+class TestMVAttentionProcessorOracle:
+    """The stage-2a NOVEL attention math, executed from the reference's own
+    transformer_mv2d.py source (ast-extracted; diffusers/xformers doubled at
+    their stable public contracts) vs models/attention_mv.py's folds."""
+
+    DIM, HEADS, B, V, S = 32, 4, 2, 3, 16
+
+    def _ours(self, attn_double, x_nsc, kv_fold, num_views):
+        from drawingspinup_tpu.models.attention_mv import Attention
+        fm = Attention(heads=self.HEADS)
+        sd = _to_numpy_sd(attn_double)
+        params = {"params": {
+            "to_q": {"kernel": jnp.asarray(sd["to_q.weight"].T)},
+            "to_k": {"kernel": jnp.asarray(sd["to_k.weight"].T)},
+            "to_v": {"kernel": jnp.asarray(sd["to_v.weight"].T)},
+            "to_out": {"kernel": jnp.asarray(sd["to_out.0.weight"].T),
+                       "bias": jnp.asarray(sd["to_out.0.bias"])},
+        }}
+        return np.asarray(fm.apply(params, jnp.asarray(x_nsc),
+                                   kv_fold=kv_fold, num_views=num_views))
+
+    def test_multiview_fold(self):
+        procs = oracle.import_reference_mv_processors()
+        attn = _AttnDouble(self.DIM, self.HEADS, seed=51)
+        rng = np.random.default_rng(51)
+        x = rng.standard_normal(
+            (self.B * self.V, self.S, self.DIM)).astype(np.float32)
+        with torch.no_grad():
+            want = procs.MVAttnProcessor()(
+                attn, torch.from_numpy(x), num_views=self.V,
+                multiview_attention=True).numpy()
+        got = self._ours(attn, x, "views", self.V)
+        err = np.abs(got - want).max()
+        assert err < 1e-4, f"MV fold parity error {err}"
+
+    def test_sparse_multiview_fold(self):
+        procs = oracle.import_reference_mv_processors()
+        attn = _AttnDouble(self.DIM, self.HEADS, seed=52)
+        rng = np.random.default_rng(52)
+        x = rng.standard_normal(
+            (self.B * self.V, self.S, self.DIM)).astype(np.float32)
+        with torch.no_grad():
+            want = procs.XFormersMVAttnProcessor()(
+                attn, torch.from_numpy(x), num_views=self.V,
+                multiview_attention=True, sparse_mv_attention=True).numpy()
+        got = self._ours(attn, x, "views_sparse", self.V)
+        err = np.abs(got - want).max()
+        assert err < 1e-4, f"sparse MV fold parity error {err}"
+
+    def test_joint_domain_fold(self):
+        procs = oracle.import_reference_mv_processors()
+        attn = _AttnDouble(self.DIM, self.HEADS, seed=53)
+        rng = np.random.default_rng(53)
+        x = rng.standard_normal(
+            (2 * self.B * self.V, self.S, self.DIM)).astype(np.float32)
+        with torch.no_grad():
+            want = procs.JointAttnProcessor()(
+                attn, torch.from_numpy(x), num_tasks=2).numpy()
+        got = self._ours(attn, x, "domains", self.V)
+        err = np.abs(got - want).max()
+        assert err < 1e-4, f"joint domain fold parity error {err}"
