@@ -122,9 +122,23 @@ def init_sdf_field(cfg: SDFFieldConfig, key: jax.Array) -> Dict[str, Any]:
     }
 
 
-def contract(x: jnp.ndarray, radius: float) -> jnp.ndarray:
-    """AABB contraction [-r, r] → [0, 1] (reference contract_to_unisphere)."""
-    return jnp.clip((x + radius) / (2 * radius), 0.0, 1.0)
+def contract(x: jnp.ndarray, radius: float, kind: str = "aabb") -> jnp.ndarray:
+    """Reference contract_to_unisphere (geometry.py:18-30).
+
+    kind='aabb': [-r, r] → [0, 1]; we additionally CLIP to [0, 1] (the
+    reference feeds out-of-range values straight into tcnn, which clamps
+    internally — the clip here makes that explicit for our own hash encode;
+    identical for in-AABB points).
+    kind='sphere': nerfacc UN_BOUNDED_SPHERE — inner unit ball → [0.25,
+    0.75] band, the outside squashed by 2−1/|x| (always inside [0, 1])."""
+    u = (x + radius) / (2 * radius)
+    if kind == "sphere":
+        y = u * 2 - 1
+        mag = jnp.linalg.norm(y, axis=-1, keepdims=True)
+        squashed = (2 - 1 / jnp.maximum(mag, 1e-12)) * (y / jnp.maximum(mag, 1e-12))
+        y = jnp.where(mag > 1, squashed, y)
+        return y / 4 + 0.5
+    return jnp.clip(u, 0.0, 1.0)
 
 
 def sdf_forward(cfg: SDFFieldConfig, params, x: jnp.ndarray,

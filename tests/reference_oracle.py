@@ -235,3 +235,43 @@ def import_reference_mv_processors():
     code = ast.Module(body=nodes, type_ignores=[])
     exec(compile(code, "<ref transformer_mv2d extract>", "exec"), ns)
     return types.SimpleNamespace(**{n.name: ns[n.name] for n in nodes})
+
+
+def import_reference_geometry_helpers():
+    """Extract contract_to_unisphere (geometry.py:18-30) and the PCA shear
+    (mesh_utils.py:76-93) from the reference sources without importing their
+    modules (mcubes/cv2/nerfacc/trimesh-heavy). ContractionType is doubled as
+    the two-member enum nerfacc exposes; scale_anything comes from the real
+    instant_nsr.models.utils (already importable under the tcnn stub)."""
+    import ast
+    import enum
+
+    import numpy as np
+    import torch
+
+    _stub_tcnn_pl_omegaconf()
+    if "instant_nsr.models.utils" not in sys.modules:
+        import_reference_network_utils()
+    mu = sys.modules["instant_nsr.models.utils"]
+
+    class ContractionType(enum.Enum):
+        AABB = 0
+        UN_BOUNDED_SPHERE = 1
+
+    out = {}
+    for path, wanted in (
+            (STAGE2 / "instant_nsr" / "models" / "geometry.py",
+             {"contract_to_unisphere"}),
+            (STAGE2 / "instant_nsr" / "utils" / "mesh_utils.py",
+             {"PCA", "shear_transformation"})):
+        tree = ast.parse(path.read_text())
+        nodes = [n for n in tree.body if isinstance(n, ast.FunctionDef)
+                 and n.name in wanted]
+        assert {n.name for n in nodes} == wanted
+        ns = {"torch": torch, "np": np, "ContractionType": ContractionType,
+              "scale_anything": mu.scale_anything}
+        exec(compile(ast.Module(body=nodes, type_ignores=[]),
+                     f"<ref extract {path.name}>", "exec"), ns)
+        out.update({n.name: ns[n.name] for n in nodes})
+    out["ContractionType"] = ContractionType
+    return types.SimpleNamespace(**out)

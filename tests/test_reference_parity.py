@@ -1148,3 +1148,44 @@ class TestMVAttentionProcessorOracle:
         got = self._ours(attn, x, "domains", self.V)
         err = np.abs(got - want).max()
         assert err < 1e-4, f"joint domain fold parity error {err}"
+
+
+class TestGeometryHelperOracles:
+    def test_contract_to_unisphere(self):
+        """geometry.py:18-30 both contraction branches vs models/hashgrid
+        contract()."""
+        gh = oracle.import_reference_geometry_helpers()
+        rng = np.random.default_rng(61)
+        radius = 1.0
+        from drawingspinup_tpu.models.fields import contract
+        # AABB on in-range points (our clip is a no-op there; the reference
+        # relies on tcnn's internal clamp for out-of-range inputs)
+        x_in = rng.uniform(-radius, radius, (256, 3)).astype(np.float32)
+        want = gh.contract_to_unisphere(
+            torch.from_numpy(x_in.copy()), radius,
+            gh.ContractionType.AABB).numpy()
+        got = np.asarray(contract(jnp.asarray(x_in), radius, kind="aabb"))
+        assert np.abs(got - want).max() < 1e-6
+        # unbounded sphere on arbitrary points
+        x = rng.standard_normal((256, 3)).astype(np.float32) * 2.0
+        want = gh.contract_to_unisphere(
+            torch.from_numpy(x.copy()), radius,
+            gh.ContractionType.UN_BOUNDED_SPHERE).numpy()
+        got = np.asarray(contract(jnp.asarray(x), radius, kind="sphere"))
+        err = np.abs(got - want).max()
+        assert err < 1e-5, f"sphere contraction parity error {err}"
+
+    def test_pca_shear(self):
+        """mesh_utils.py:76-93 PCA shear (in-place on a copy) vs
+        render/mesh_post.shear_transformation."""
+        gh = oracle.import_reference_geometry_helpers()
+        rng = np.random.default_rng(62)
+        # a leaning ellipsoid point cloud
+        v = rng.standard_normal((500, 3)).astype(np.float64)
+        v[:, 2] += 0.7 * v[:, 1]
+        ref_v = v.copy()
+        gh.shear_transformation(ref_v)  # reference mutates in place
+        from drawingspinup_tpu.render.mesh_post import shear_transformation
+        got = shear_transformation(v.copy())
+        err = np.abs(got - ref_v).max()
+        assert err < 1e-8, f"shear parity error {err}"
