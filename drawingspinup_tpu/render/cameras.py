@@ -46,7 +46,17 @@ def w2c_opengl(view: str, distance: float = CAMERA_DISTANCE) -> np.ndarray:
         y_cam = np.array([0.0, 0.0, 1.0], np.float32)     # up = world z
         z_cam = np.array([sa, -ca, 0.0], np.float32)      # backward
         r = np.stack([x_cam, y_cam, z_cam])
-        c = distance * z_cam
+        # the reference's fixed_poses place the four diagonal cameras at the
+        # CORNERS of the ±distance square (per-component ±d, i.e. range
+        # d·√2), not on the circle of radius d — verified against the
+        # instant_nsr/datasets/fixed_poses txt files (t_z 1.8385 = 1.3·√2
+        # for front_right/front_left/back_right/back_left, 1.3 elsewhere).
+        # Irrelevant for the ortho PROJECTION, but it shifts where t=0 sits
+        # on each ray and thus keeps depth/t conventions bit-compatible.
+        if VIEW_AZIMUTHS_DEG[view] % 90.0 == 45.0:
+            c = distance * np.sqrt(2.0, dtype=np.float32) * z_cam
+        else:
+            c = distance * z_cam
     t = -r @ c
     return np.concatenate([r, t[:, None]], axis=1).astype(np.float32)
 

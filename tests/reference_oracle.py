@@ -275,3 +275,25 @@ def import_reference_geometry_helpers():
         out.update({n.name: ns[n.name] for n in nodes})
     out["ContractionType"] = ContractionType
     return types.SimpleNamespace(**out)
+
+
+def import_reference_ortho_helpers():
+    """Extract the pure-numpy convention helpers from
+    instant_nsr/datasets/ortho.py (the module itself is pl/cv2-bound):
+    camNormal2worldNormal, img2normal, RT_opengl2opencv,
+    normal_opengl2opencv, inv_RT."""
+    import ast
+
+    import numpy as np
+
+    wanted = {"camNormal2worldNormal", "img2normal", "RT_opengl2opencv",
+              "normal_opengl2opencv", "inv_RT"}
+    tree = ast.parse(
+        (STAGE2 / "instant_nsr" / "datasets" / "ortho.py").read_text())
+    nodes = [n for n in tree.body if isinstance(n, ast.FunctionDef)
+             and n.name in wanted]
+    assert {n.name for n in nodes} == wanted
+    ns = {"np": np}
+    exec(compile(ast.Module(body=nodes, type_ignores=[]),
+                 "<ref extract ortho.py>", "exec"), ns)
+    return types.SimpleNamespace(**{n.name: ns[n.name] for n in nodes})

@@ -1189,3 +1189,56 @@ class TestGeometryHelperOracles:
         got = shear_transformation(v.copy())
         err = np.abs(got - ref_v).max()
         assert err < 1e-8, f"shear parity error {err}"
+
+
+class TestOrthoPoseOracle:
+    """Recon camera matrices vs the reference's ACTUAL fixed-pose txt files
+    (instant_nsr/datasets/fixed_poses — a pure orbit, distinct from the
+    mvdiffusion nine_views set) through the reference's own
+    RT_opengl2opencv/inv_RT (ortho.py:31-53)."""
+
+    VIEWS = ["front", "front_right", "right", "back", "left", "front_left"]
+
+    def _ref_mats(self):
+        oh = oracle.import_reference_ortho_helpers()
+        pose_dir = oracle.STAGE2 / "instant_nsr" / "datasets" / "fixed_poses"
+        w2cs, c2ws = [], []
+        for v in self.VIEWS:
+            rt = np.loadtxt(pose_dir / f"000_{v}_RT.txt")
+            rt_cv = oh.RT_opengl2opencv(rt)
+            w2cs.append(rt_cv)
+            c2ws.append(oh.inv_RT(rt_cv))
+        return np.stack(c2ws), np.stack(w2cs), oh
+
+    def test_view_matrices_match_reference_txt(self):
+        c2w_ref, w2c_ref, _ = self._ref_mats()
+        from drawingspinup_tpu.render.cameras import view_matrices
+        c2w, w2c = view_matrices(self.VIEWS)
+        err_w = np.abs(w2c - w2c_ref).max()
+        err_c = np.abs(c2w - c2w_ref).max()
+        assert err_w < 1e-5, f"w2c parity error {err_w}"
+        assert err_c < 1e-5, f"c2w parity error {err_c}"
+
+    def test_world_normal_chain_matches(self):
+        """mask-zeroed normals → opencv flip → front-system world rotation
+        (load_a_prediction, ortho.py:64-87) vs the stage2_recon loader
+        math."""
+        c2w_ref, w2c_ref, oh = self._ref_mats()
+        rng = np.random.default_rng(71)
+        img = rng.integers(0, 255, (8, 8, 3)).astype(np.float64)
+        normal = oh.img2normal(img)
+        normal_cv = oh.normal_opengl2opencv(normal)
+        rt_front = np.loadtxt(oracle.STAGE2 / "instant_nsr" / "datasets" /
+                              "fixed_poses" / "000_front_RT.txt")
+        rt_front_cv = oh.RT_opengl2opencv(rt_front)
+        want = oh.camNormal2worldNormal(oh.inv_RT(rt_front_cv)[:3, :3],
+                                        normal_cv)
+
+        from drawingspinup_tpu.render.cameras import (opengl_to_opencv,
+                                                      w2c_opengl)
+        front_w2c = opengl_to_opencv(w2c_opengl("front"))
+        rot_front_c2w = front_w2c[:3, :3].T
+        ours = ((img / 255.0) * 2 - 1) * np.array([1, -1, -1.0])
+        ours = ours @ rot_front_c2w.T
+        err = np.abs(ours - want).max()
+        assert err < 1e-5, f"world-normal chain parity error {err}"
