@@ -1197,7 +1197,8 @@ class TestOrthoPoseOracle:
     mvdiffusion nine_views set) through the reference's own
     RT_opengl2opencv/inv_RT (ortho.py:31-53)."""
 
-    VIEWS = ["front", "front_right", "right", "back", "left", "front_left"]
+    VIEWS = ["front", "front_right", "right", "back_right", "back",
+             "back_left", "left", "front_left", "top"]
 
     def _ref_mats(self):
         oh = oracle.import_reference_ortho_helpers()
