@@ -134,9 +134,10 @@ def contract(x: jnp.ndarray, radius: float, kind: str = "aabb") -> jnp.ndarray:
     u = (x + radius) / (2 * radius)
     if kind == "sphere":
         y = u * 2 - 1
-        mag = jnp.linalg.norm(y, axis=-1, keepdims=True)
-        squashed = (2 - 1 / jnp.maximum(mag, 1e-12)) * (y / jnp.maximum(mag, 1e-12))
-        y = jnp.where(mag > 1, squashed, y)
+        # eps under the sqrt keeps the norm's VJP finite at y=0 (a bare
+        # jnp.linalg.norm leaks NaN through the untaken where-branch)
+        mag = jnp.sqrt(jnp.sum(y * y, axis=-1, keepdims=True) + 1e-24)
+        y = jnp.where(mag > 1, (2 - 1 / mag) * (y / mag), y)
         return y / 4 + 0.5
     return jnp.clip(u, 0.0, 1.0)
 

@@ -49,11 +49,14 @@ class DepthwiseSeparableConv(nn.Module):
         in_ch = x.shape[-1]
         wd = self.param("depthwise", nn.initializers.he_normal(),
                         (self.kernel, self.kernel, 1, in_ch))
-        x = conv2d(x, wd, stride=self.stride, padding=self.padding,
+        bd = self.param("depthwise_bias", nn.initializers.zeros, (in_ch,))
+        x = conv2d(x, wd, bd, stride=self.stride, padding=self.padding,
                    groups=in_ch)
         wp = self.param("pointwise", nn.initializers.he_normal(),
                         (1, 1, in_ch, self.features))
-        return conv2d(x, wp)
+        bp = self.param("pointwise_bias", nn.initializers.zeros,
+                        (self.features,))
+        return conv2d(x, wp, bp)
 
 
 class MultiDilatedConv(nn.Module):
@@ -162,8 +165,13 @@ class ResnetBlock(nn.Module):
     def _conv(self, h, d: int, name: str):
         p = d * (self.kernel // 2)
         if self.conv_kind == "multidilated":
-            return make_conv(self.conv_kind, self.dim, self.kernel,
-                             name=name)(h)   # pads internally per branch
+            # per-branch SAME (padding k//2 is scaled by each branch's
+            # dilation inside MultiDilatedConv); no external pad. (The
+            # reference crashes on this combination — duplicate dilation
+            # kwarg — so SAME zero-pad is our repair, matching this class's
+            # pre-rework behavior.)
+            return MultiDilatedConv(self.dim, self.kernel,
+                                    padding=self.kernel // 2, name=name)(h)
         h = pad2d(h, p, "reflect")
         if d == 1:
             return make_conv(self.conv_kind, self.dim, self.kernel,
@@ -242,8 +250,8 @@ class _GlobalBase(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.conv_kind == "multidilated":
-            # MultiDilatedConv pads internally (per-branch SAME)
-            h = make_conv(self.conv_kind, self.ngf, 7, name="conv_in")(x)
+            # per-branch SAME padding (7//2=3, dilation-scaled internally)
+            h = MultiDilatedConv(self.ngf, 7, padding=3, name="conv_in")(x)
         else:
             h = pad2d(x, 3, "reflect")
             h = make_conv(self.conv_kind, self.ngf, 7, name="conv_in")(h)

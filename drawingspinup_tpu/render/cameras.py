@@ -2,9 +2,12 @@
 
 The reference ships nine 3×4 OpenGL world→cam matrices as txt files
 (``mvdiffusion/data/fixed_poses/nine_views``; loaded by
-``instant_nsr/datasets/ortho.py:54-97``). Those cameras are a plain orbit:
-z-up world, camera at radius 1.3, elevation 0 (except ``top``), azimuth per
-view — so we synthesize them analytically instead of shipping data files.
+``instant_nsr/datasets/ortho.py:54-97``). Those cameras are an orbit in the
+z-up world at elevation 0 (except ``top``), azimuth per view; the four
+cardinal views sit at distance 1.3 and the four diagonal views at the
+CORNERS of the ±1.3 square (distance 1.3·√2) — synthesized analytically
+instead of shipping data files, pinned against the txt files by
+``tests/test_reference_parity.py::TestOrthoPoseOracle``.
 
 Conventions:
   * OpenGL camera: x right, y up, z backward (camera looks along −z).

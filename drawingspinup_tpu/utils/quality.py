@@ -88,10 +88,10 @@ def compare_stage_outputs(dir_a: str, dir_b: str) -> dict:
             continue
         a = read_image(os.path.join(dir_a, name))[..., :3]
         b = read_image(pb)[..., :3]
-        if a.shape[-1] == 1:  # grayscale (e.g. masks) → 3-ch for the VGG
-            a = np.repeat(a, 3, axis=-1)
-        if b.shape[-1] == 1:
-            b = np.repeat(b, 3, axis=-1)
+        if a.shape[-1] < 3:   # grayscale / LA (e.g. masks) → 3-ch for VGG
+            a = np.repeat(a[..., :1], 3, axis=-1)
+        if b.shape[-1] < 3:
+            b = np.repeat(b[..., :1], 3, axis=-1)
         out[name] = {"psnr": psnr(a, b), "ssim": ssim(a, b),
                      "perceptual": perceptual_distance(a, b)}
     return out

@@ -278,13 +278,15 @@ def global_generator_key_map(n_downsampling: int = 3, n_blocks: int = 9):
 
 def _resnet_block_entries(i: int, torch_idx: int, kind: str = "resnetblock",
                           dilation: int = 1, dilation_num: int = 3,
-                          in_dim: bool = False):
+                          in_dim: bool = False, conv_kind: str = "default"):
     """Entries for one bottleneck block at Sequential position ``torch_idx``.
 
     kind: resnetblock | resnetblock5x5 | resnetblockdwdil (same torch
     conv_block layout: [pad, conv, bn, act, pad, conv, bn] → 1/2/5/6) |
     multidilatedresnetblock (conv_block [mdconv, bn, act, mdconv, bn] →
-    0/1/3/4, each mdconv a convs.{j} ModuleList)."""
+    0/1/3/4, each mdconv a convs.{j} ModuleList). conv_kind selects the
+    conv ctor of the non-multidilated kinds: default (nn.Conv2d) or
+    depthwise (DepthWiseSeperableConv: depthwise/pointwise sub-convs)."""
     tp = f"model.{torch_idx}.conv_block"
     fb = f"block{i}"
     if kind == "multidilatedresnetblock":
@@ -297,12 +299,25 @@ def _resnet_block_entries(i: int, torch_idx: int, kind: str = "resnetblock",
                        (fb, cname, f"bias{j}"), None, np.asarray)
             yield from _bn_at((fb, nname), f"{tp}.{npos}")
         return
+    if conv_kind == "multidilated":
+        raise NotImplementedError(
+            "ResnetBlock with a multidilated conv ctor is unbuildable in the"
+            " reference itself (duplicate dilation kwarg)")
     # plain / 5x5 / dilated blocks share the padded-Sequential layout;
     # the flax param naming differs for dilation>1 (ResnetBlock._conv
     # inlines the kernel as conv{k}_kernel instead of a conv{k} submodule)
     for cpos, cname, npos, nname in ((1, "conv1", 2, "norm1"),
                                      (5, "conv2", 6, "norm2")):
-        if kind == "resnetblockdwdil" and dilation != 1:
+        if conv_kind == "depthwise":
+            yield (f"{tp}.{cpos}.depthwise.weight",
+                   (fb, cname, "depthwise"), None, _conv_w)
+            yield (f"{tp}.{cpos}.depthwise.bias",
+                   (fb, cname, "depthwise_bias"), None, np.asarray)
+            yield (f"{tp}.{cpos}.pointwise.weight",
+                   (fb, cname, "pointwise"), None, _conv_w)
+            yield (f"{tp}.{cpos}.pointwise.bias",
+                   (fb, cname, "pointwise_bias"), None, np.asarray)
+        elif kind == "resnetblockdwdil" and dilation != 1:
             yield (f"{tp}.{cpos}.weight", (fb, f"{cname}_kernel"),
                    None, _conv_w)
             yield (f"{tp}.{cpos}.bias", (fb, f"{cname}_bias"),
@@ -324,7 +339,7 @@ def _global_sequential_map(n_downsampling: int, blocks):
     """Shared stem/downsample/upsample/head map of the pix2pixHD Sequential
     generators (GlobalGenerator layout, pix2pixhd.py:341-436), with the
     bottleneck section described by ``blocks``: a list of
-    (kind, dilation, dilation_num) per block."""
+    (kind, dilation, dilation_num, conv_kind) per block."""
     entries = []
     entries.append(("model.1.weight", ("conv_in", "kernel"), None, _conv_w))
     entries.append(("model.1.bias", ("conv_in", "bias"), None, np.asarray))
@@ -337,9 +352,10 @@ def _global_sequential_map(n_downsampling: int, blocks):
                         None, np.asarray))
         entries.extend(_bn_at((f"down{i}_norm",), f"model.{idx + 1}"))
         idx += 3
-    for i, (kind, dilation, dilation_num) in enumerate(blocks):
+    for i, (kind, dilation, dilation_num, conv_kind) in enumerate(blocks):
         entries.extend(_resnet_block_entries(i, idx, kind, dilation,
-                                             dilation_num))
+                                             dilation_num,
+                                             conv_kind=conv_kind))
         idx += 1
     for j in range(n_downsampling):
         entries.append((f"model.{idx}.weight", (f"up{j}_kernel",),
@@ -363,7 +379,8 @@ def multidilated_global_generator_key_map(n_downsampling: int = 3,
     layout with multidilated bottleneck blocks."""
     return _global_sequential_map(
         n_downsampling,
-        [("multidilatedresnetblock", 1, dilation_num)] * n_blocks)
+        [("multidilatedresnetblock", 1, dilation_num,
+          "multidilated")] * n_blocks)
 
 
 def expand_manual_block_spec(manual_block_spec, n_blocks: int = 3,
@@ -380,13 +397,15 @@ def expand_manual_block_spec(manual_block_spec, n_blocks: int = 3,
     blocks = []
     for spec in specs:
         if spec.get("use_default"):
-            kind, dil = resnet_block_kind, resnet_dilation
+            kind, dil, ck = (resnet_block_kind, resnet_dilation,
+                             resnet_conv_kind)
         else:
             kind = spec.get("resnet_block_kind", resnet_block_kind)
+            ck = spec.get("resnet_conv_kind", resnet_conv_kind)
             dil = spec.get("resnet_dilation", resnet_dilation)
             if dil is None:
                 dil = resnet_dilation
-        blocks += [(kind, dil, dilation_num)] * int(spec["n_blocks"])
+        blocks += [(kind, dil, dilation_num, ck)] * int(spec["n_blocks"])
     return blocks
 
 
@@ -485,7 +504,7 @@ def convert_superchannels_generator(state_dict: Mapping[str, Any],
 
 def nlayer_discriminator_key_map(n_layers: int = 3,
                                  middle_kind: str = "default",
-                                 dilation_num: int = 2):
+                                 dilation_num: int = 1):
     """pix2pixHD NLayerDiscriminator / MultidilatedNLayerDiscriminator
     (pix2pixhd.py:565-613 / :616-664): model{n} Sequentials; the
     multidilated variant swaps the middle stride-2 convs for
@@ -522,7 +541,7 @@ def nlayer_discriminator_key_map(n_layers: int = 3,
 def convert_nlayer_discriminator(state_dict: Mapping[str, Any],
                                  n_layers: int = 3,
                                  middle_kind: str = "default",
-                                 dilation_num: int = 2,
+                                 dilation_num: int = 1,
                                  strict: bool = True) -> Dict[str, Dict]:
     sd = {k: v for k, v in state_dict.items()
           if not k.endswith("num_batches_tracked")}

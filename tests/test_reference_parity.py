@@ -557,6 +557,10 @@ class TestConfigGlobalGeneratorParity:
          "resnet_block_kind": "resnetblockdwdil",
          "resnet_conv_kind": "default", "resnet_dilation": 2,
          "multidilation_kwargs": {}},
+        {"n_blocks": 1, "use_default": False,
+         "resnet_block_kind": "resnetblock",
+         "resnet_conv_kind": "depthwise", "resnet_dilation": 1,
+         "multidilation_kwargs": {}},
     )
 
     def _torch_model(self, ref):
@@ -1243,3 +1247,15 @@ class TestOrthoPoseOracle:
         ours = ours @ rot_front_c2w.T
         err = np.abs(ours - want).max()
         assert err < 1e-5, f"world-normal chain parity error {err}"
+
+
+class TestContractGradientSafety:
+    def test_sphere_gradient_finite_at_center(self):
+        """grad through contract(kind='sphere') must be finite at the
+        contraction center (y=0) — a bare norm VJP leaks NaN through the
+        untaken where-branch."""
+        import jax
+        from drawingspinup_tpu.models.fields import contract
+        x = jnp.zeros((4, 3))
+        g = jax.grad(lambda v: jnp.sum(contract(v, 1.0, kind="sphere")))(x)
+        assert np.all(np.isfinite(np.asarray(g)))
