@@ -297,3 +297,36 @@ def import_reference_ortho_helpers():
     exec(compile(ast.Module(body=nodes, type_ignores=[]),
                  "<ref extract ortho.py>", "exec"), ns)
     return types.SimpleNamespace(**{n.name: ns[n.name] for n in nodes})
+
+
+def import_reference_neus_alpha():
+    """Extract VarianceNetwork + NeuSModelTextureMLP (for its get_alpha) from
+    instant_nsr/models/neus.py without importing the module (nerfacc-bound).
+    The class decorator/registry and BaseModel are stubbed; only
+    VarianceNetwork.__init__/inv_s/forward and get_alpha are executed."""
+    import ast
+
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    tree = ast.parse(
+        (STAGE2 / "instant_nsr" / "models" / "neus.py").read_text())
+    wanted = {"VarianceNetwork", "NeuSModelTextureMLP"}
+    nodes = [n for n in tree.body if isinstance(n, ast.ClassDef)
+             and n.name in wanted]
+    assert {n.name for n in nodes} == wanted
+
+    class _Registry:
+        @staticmethod
+        def register(name):
+            return lambda cls: cls
+
+    class _BaseModel:
+        pass
+
+    ns = {"torch": torch, "nn": nn, "F": F, "models": _Registry,
+          "BaseModel": _BaseModel}
+    exec(compile(ast.Module(body=nodes, type_ignores=[]),
+                 "<ref extract neus.py>", "exec"), ns)
+    return types.SimpleNamespace(**{n.name: ns[n.name] for n in nodes})

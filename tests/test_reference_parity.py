@@ -1259,3 +1259,45 @@ class TestContractGradientSafety:
         x = jnp.zeros((4, 3))
         g = jax.grad(lambda v: jnp.sum(contract(v, 1.0, kind="sphere")))(x)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestNeuSAlphaOracle:
+    """The NeuS section-alpha math (neus.py:12-40 VarianceNetwork inv_s and
+    :90-112 get_alpha) executed from the reference's own class source, across
+    anneal ratios, vs render/neus.neus_alpha."""
+
+    class _Cfg(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+    def test_alpha_matches_reference(self):
+        na = oracle.import_reference_neus_alpha()
+        cfg = self._Cfg(init_val=0.3)
+        cfg.get = lambda k, d=None: dict(cfg).get(k, d)
+        var = na.VarianceNetwork(cfg)
+        model = object.__new__(na.NeuSModelTextureMLP)
+        model.variance = var
+
+        rng = np.random.default_rng(81)
+        n = 256
+        sdf = (rng.standard_normal(n) * 0.1).astype(np.float32)
+        normal = rng.standard_normal((n, 3)).astype(np.float32)
+        normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+        dirs = rng.standard_normal((n, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        dists = rng.uniform(1e-3, 0.05, n).astype(np.float32)
+
+        from drawingspinup_tpu.render.neus import neus_alpha
+        inv_s = float(np.exp(0.3 * 10.0))
+        for ratio in (0.0, 0.37, 1.0):
+            model.cos_anneal_ratio = ratio
+            with torch.no_grad():
+                want = model.get_alpha(
+                    torch.from_numpy(sdf), torch.from_numpy(normal),
+                    torch.from_numpy(dirs), torch.from_numpy(dists)).numpy()
+            got = np.asarray(neus_alpha(
+                jnp.asarray(sdf), jnp.asarray(normal), jnp.asarray(dirs),
+                jnp.asarray(dists), jnp.asarray(inv_s),
+                jnp.asarray(ratio)))
+            err = np.abs(got - want).max()
+            assert err < 1e-5, f"anneal {ratio}: alpha parity error {err}"
