@@ -7,15 +7,13 @@ flax rebuild produces the same outputs. This is the strongest correctness
 evidence available without shipped checkpoints: if these pass, a real
 reference checkpoint ports with the same code path.
 
-Oracles covered:
-  * FFCResNetGenerator   — 1_lama_contour_remover/saicinpainting/training/
-                           modules/ffc.py:304-366, lama-fourier.yaml kwargs
-  * GeneratorJ           — 3_style_translator/training/models.py:24-192
-  * DiscriminatorN_IN    — models.py:426-474
-  * PerceptualVGG19      — models.py:480-548 (torchvision vgg19 topology)
-  * criterions           — 2_charactor_reconstructor/instant_nsr/systems/
-                           criterions.py:4-27
-  * neus_ortho loss math — neus_ortho.py:106-151 formulas
+Oracle inventory: see PARITY.md "Fidelity proof layer" — this file covers
+the FFC generator/discriminator, the full pix2pixHD zoo, GeneratorJ/
+DiscriminatorN/VGG19/RIC offsets, VanillaMLP/VanillaFrequency/trunc_exp,
+criterions + neus_ortho loss formulas + NeuS get_alpha, ortho rays + the
+nine fixed poses + world-normal chain + contractions + PCA shear, the LR
+trajectory, the SingleImageDataset conditioning, and the MV/joint/sparse
+attention processors (ast-extracted reference source).
 """
 from __future__ import annotations
 
