@@ -93,17 +93,19 @@ def predict_uids(root: str, uids: Sequence[str], variables,
     """Run contour removal for a list of uids; returns written paths.
 
     Batches uids onto the device (one jit compile for all batches via fixed
-    batch shape + padding) and overlaps host-side inpainting with device
-    compute for the next batch.
+    batch shape + padding). Device compute overlaps host-side inpainting
+    through JAX async dispatch: the NEXT batch's forward is dispatched
+    before the previous batch's results are pulled and inpainted.
     """
     model = build_generator(cfg)
     forward = make_forward(model)
     written = []
-    pending: List[Tuple[UidPaths, np.ndarray, np.ndarray, jnp.ndarray]] = []
+    pending: List[Tuple[UidPaths, np.ndarray, np.ndarray]] = []
+    in_flight = None                    # (batch_items, device probs)
 
-    def flush(batch_items):
+    def dispatch(batch_items):
         if not batch_items:
-            return
+            return None
         rgbs = np.stack([b[1] for b in batch_items])
         alphas = np.stack([b[2] for b in batch_items])
         inputs = np.concatenate([rgbs, alphas], axis=-1)
@@ -111,8 +113,14 @@ def predict_uids(root: str, uids: Sequence[str], variables,
         if pad:
             inputs = np.concatenate(
                 [inputs, np.zeros((pad,) + inputs.shape[1:], np.float32)])
-        probs = np.asarray(forward(variables, jnp.asarray(inputs)))
-        for (paths, rgb, alpha, _), prob in zip(batch_items, probs):
+        return batch_items, forward(variables, jnp.asarray(inputs))
+
+    def drain(flight):
+        if flight is None:
+            return
+        batch_items, dev_probs = flight
+        probs = np.asarray(dev_probs)   # blocks; next batch already queued
+        for (paths, rgb, alpha), prob in zip(batch_items, probs):
             out = postprocess_one(rgb, alpha, prob)
             out_path = os.path.join(paths.char_dir, f"{save_name}_inpainted.png")
             write_image(out_path, out)
@@ -121,9 +129,13 @@ def predict_uids(root: str, uids: Sequence[str], variables,
     for uid in uids:
         paths = UidPaths(root, uid)
         rgb, alpha = load_input(paths, size=size)
-        pending.append((paths, rgb, alpha, None))
+        pending.append((paths, rgb, alpha))
         if len(pending) == batch_size:
-            flush(pending)
+            nxt = dispatch(pending)
             pending = []
-    flush(pending)
+            drain(in_flight)
+            in_flight = nxt
+    nxt = dispatch(pending)
+    drain(in_flight)
+    drain(nxt)
     return written

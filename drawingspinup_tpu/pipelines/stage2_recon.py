@@ -387,10 +387,12 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
     single-worker executor and overlap it with the NEXT uid's training
     (the training loop is RPC-wait, not CPU) — a Future[str] is returned
     instead of the path. cli/recon.py does this in multi-uid mode."""
+    t_entry = time.time()
     paths = UidPaths(root, uid)
     data = load_ortho_data(paths, im_size=im_size, radius=cfg.radius,
                            hull_trange=cfg.hull_trange)
     front_mask = load_front_mask(paths)
+    t_data = time.time() - t_entry
 
     tx = nsr.make_optimizer(cfg)
     state = nsr.init_state(cfg, jax.random.PRNGKey(seed))
@@ -437,13 +439,17 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
                   f"mask={float(logs['loss_mask']):.4f} "
                   f"inv_s={float(logs['inv_s']):.1f}")
     train_time = time.time() - t0
+    t0 = time.time()
     if cfg.max_steps > start_step:
         ckpt.save(ckpt.step_path(ckpt_root, cfg.max_steps), state)
+    t_ckpt = time.time() - t0
 
     # device half of the export: fine SDF grid (sparse surface-band)
+    t0 = time.time()
     level, vmin, vmax = isosurface_level(cfg, state.params,
                                          resolution=mc_resolution,
                                          step=cfg.max_steps)
+    t_grid = time.time() - t0
 
     front_color = read_image(paths.mv("color", "front"))[..., :3] \
         if color_back_projection else None
@@ -458,10 +464,12 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
     out_path = os.path.join(paths.mesh_dir, name + ".obj")
 
     def host_tail() -> str:
+        t0 = time.time()
         verts, faces = isosurface_from_level(
             level, vmin, vmax, mc_resolution,
             front_mask=front_mask if front_cutting else None,
             face_count=face_count)
+        t_march = time.time() - t0
         # colors for the non-backprojection path: albedo from the radiance
         # field (device eval — this branch never runs deferred)
         vert_colors = None
@@ -481,6 +489,7 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
                 jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
             vert_colors = np.asarray(radiance_forward(
                 cfg.radiance, state.params["texture"], feat, -n, n))
+        t1 = time.time()
         mesh_post.save_mesh(
             out_path, verts, faces, vert_colors=vert_colors,
             front_mask=drawing_mask, front_color=front_color,
@@ -488,8 +497,12 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
             thinning_type=thinning_type, smoothing=smoothing,
             color_back_projection=color_back_projection, shearing=shearing,
             ortho_scale=ortho_scale, export_uv=export_uv)
+        t_save = time.time() - t1
         print(f"[recon {uid}] trained {cfg.max_steps} steps in "
-              f"{train_time:.1f}s → {out_path}")
+              f"{train_time:.1f}s → {out_path}\n"
+              f"[recon {uid}] phases: data+hull {t_data:.1f}s  "
+              f"ckpt {t_ckpt:.1f}s  grid {t_grid:.1f}s  "
+              f"march+remesh {t_march:.1f}s  save_mesh {t_save:.1f}s")
         return out_path
 
     if tail_executor is not None and color_back_projection:

@@ -98,7 +98,13 @@ def load_keyframe_pair(action_dir: str, pre_dir: str, post_path: str,
 
     pos = None
     if use_pos:
-        pos = read_image(os.path.join(action_dir, "pos", frame))[..., :3]
+        # keep the pos PNG's REAL alpha: the edge-overlay augmentation
+        # alpha-composites the rotated copy (reference custom_transforms
+        # cat_img → overlap_img uses img[..., 3]), so a forced alpha=1
+        # would freeze the right half's pos at the un-rotated values
+        pos = read_image(os.path.join(action_dir, "pos", frame))
+        if pos.shape[-1] == 3:
+            pos = np.concatenate([pos, np.ones_like(pos[..., :1])], -1)
     if use_edge:
         edge = read_image(os.path.join(action_dir, "edge", frame))
         pre_rgba = overlap_edge_on_img(edge, pre_rgba)
@@ -106,8 +112,9 @@ def load_keyframe_pair(action_dir: str, pre_dir: str, post_path: str,
         mask = cat_mask_with_rotated(mask)
         post = cat_with_rotated(post)
         if pos is not None:
-            pos = cat_with_rotated(
-                np.concatenate([pos, np.ones_like(pos[..., :1])], -1))[..., :3]
+            pos = cat_with_rotated(pos)
+    if pos is not None:
+        pos = pos[..., :3]
 
     post_rgb = post[..., :3] * post[..., 3:4] + (1.0 - post[..., 3:4])
 

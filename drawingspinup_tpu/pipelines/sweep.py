@@ -33,6 +33,33 @@ def stage_done(paths: UidPaths, stage: str) -> bool:
             f.endswith(".obj") for f in os.listdir(paths.mesh_dir))
     if stage == "render":
         return os.path.isdir(os.path.join(paths.render_dir, "rest_pose"))
+    if stage == "train_style":
+        # both per-character GANs finished: their final checkpoints exist
+        # (gan.save_checkpoint FINAL_STEP → <mesh>/logs_stage{k}_*/model_99999)
+        if not os.path.isdir(paths.mesh_dir):
+            return False
+        done = set()
+        for d in os.listdir(paths.mesh_dir):
+            for k in (1, 2):
+                if d.startswith(f"logs_stage{k}") and os.path.exists(
+                        os.path.join(paths.mesh_dir, d, "model_99999")):
+                    done.add(k)
+        return done == {1, 2}
+    if stage == "test_style":
+        # every action dir carries a non-empty res_stage* output dir
+        if not os.path.isdir(paths.render_dir):
+            return False
+        actions = [d for d in os.listdir(paths.render_dir)
+                   if os.path.isdir(os.path.join(paths.render_dir, d))]
+        if not actions:
+            return False
+        for a in actions:
+            adir = os.path.join(paths.render_dir, a)
+            res = [d for d in os.listdir(adir) if d.startswith("res_stage")
+                   and os.listdir(os.path.join(adir, d))]
+            if not res:
+                return False
+        return True
     if stage == "gif":
         return os.path.isdir(paths.gif_dir) and bool(os.listdir(paths.gif_dir))
     return False

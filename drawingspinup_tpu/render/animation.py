@@ -155,7 +155,19 @@ def render_animation(fbx_path: str, mesh_path: str, output_dir: str,
         obj_colors = np.full_like(obj_verts, 0.7)
 
     verts = scene.vertices
-    faces = scene.faces if len(scene.faces) else obj_faces
+    if len(scene.faces):
+        faces = scene.faces
+    elif len(verts) == 0:
+        # no FBX geometry at all → both verts and connectivity from the OBJ
+        faces = obj_faces
+    else:
+        # FBX vertices without polygon indices: OBJ connectivity indexes the
+        # OBJ vertex order, not these verts — substituting it would read out
+        # of bounds / miswire triangles. Refuse loudly.
+        raise ValueError(
+            f"{fbx_path}: FBX geometry has {len(verts)} vertices but no "
+            "polygon indices; cannot borrow the OBJ's connectivity (vertex "
+            "orders differ)")
     if len(verts) == 0:
         verts = obj_verts
 

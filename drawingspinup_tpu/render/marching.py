@@ -129,10 +129,6 @@ def marching_tetrahedra(field: np.ndarray, level: float = 0.5,
         c0, d = outs
         return [[(a, c0), (b, c0), (b, d)], [(a, c0), (b, d), (a, d)]]
 
-    verts_edges = []                                     # (E, 2) gid pairs
-    faces_idx = []                                       # indices into edges
-    edge_map = {}
-
     # vectorized per case
     all_edges = []
     all_tris = []

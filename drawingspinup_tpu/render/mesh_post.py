@@ -205,14 +205,13 @@ def _offsets_from_raycast(verts, faces, thin_xy, coord_dists, min_thickness,
     _, back_face = native.raycast_z(verts, faces, q2, +1)
 
     # per-vertex thickness: distance to farthest surface along −z / +z
-    vz_front, _ = native.raycast_z(verts, faces,
-                                   verts + np.asarray([0, 0, -1e-5]), -1)
-    vz_back, _ = native.raycast_z(verts, faces,
-                                  verts + np.asarray([0, 0, 1e-5]), +1)
-    hit_front = native.raycast_z(verts, faces,
-                                 verts + np.asarray([0, 0, -1e-5]), -1)[1] >= 0
-    hit_back = native.raycast_z(verts, faces,
-                                verts + np.asarray([0, 0, 1e-5]), +1)[1] >= 0
+    # (one sweep per direction; the returned face id doubles as hit flag)
+    vz_front, f_front = native.raycast_z(
+        verts, faces, verts + np.asarray([0, 0, -1e-5]), -1)
+    vz_back, f_back = native.raycast_z(
+        verts, faces, verts + np.asarray([0, 0, 1e-5]), +1)
+    hit_front = f_front >= 0
+    hit_back = f_back >= 0
 
     def apply(face_ids, side):
         for fi, cd in zip(face_ids, coord_dists):
@@ -278,9 +277,14 @@ def color_projection(verts: np.ndarray, faces: np.ndarray,
     raster_verts = np.stack([pvx, pvy, pv[:, 2]], axis=1).astype(np.float32)
     depth, fid, _ = native.rasterize(raster_verts, faces, res, res, z_mode=1)
     render_mask = (fid >= 0).astype(np.uint8) * 255
-    fm = (np.asarray(front_mask) > 0.5).astype(np.uint8) * 255
-    if fm.shape[0] != res:
-        fm = _resize_nearest(fm, res)
+    if front_mask is None:
+        # no drawing mask on disk (recon_uid passes None then): fall back to
+        # the mesh's own rendered silhouette instead of crashing
+        fm = render_mask
+    else:
+        fm = (np.asarray(front_mask) > 0.5).astype(np.uint8) * 255
+        if fm.shape[0] != res:
+            fm = _resize_nearest(fm, res)
     m_front = np.minimum(render_mask, fm)
     m_front = sk.erode(m_front, 19)
 

@@ -32,7 +32,12 @@ from drawingspinup_tpu.train import gan
 def make_train_step_dp(cfg: gan.GANConfig, mesh: Mesh):
     """Build a jitted dp train step(state, data, key) for the given mesh."""
     ndp = mesh.shape["dp"]
-    per_dev = max(cfg.batch_size // ndp, 1)
+    # ceil so the effective patch batch is never silently BELOW the
+    # reference's fixed 40 (cfg 40 on 16 devices → 3/dev = 48, not 32)
+    per_dev = max(-(-cfg.batch_size // ndp), 1)
+    if per_dev * ndp != cfg.batch_size:
+        print(f"[gan dp] batch_size {cfg.batch_size} not divisible by "
+              f"dp={ndp}: using {per_dev}/device ({per_dev * ndp} total)")
     gen, disc, vgg = gan.build_models(cfg)
     g_tx, d_tx = gan.make_optimizers(cfg)
 

@@ -17,6 +17,7 @@ Divergences from the reference, by TPU design (SURVEY.md §7):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -392,6 +393,18 @@ def train_step(cfg: NSRConfig, tx, state: TrainState,
     return TrainState(params, opt_state, state.step + 1), logs
 
 
+@functools.lru_cache(maxsize=4)
+def _render_chunk_fn(cfg: "NSRConfig"):
+    """Cached jitted eval-render chunk: params/step are ARGUMENTS (a fresh
+    per-call closure would retrace every call and lower the hash tables as
+    constants through a host-side fetch — the tunnel anti-pattern
+    pipelines/stage2_mv.py documents)."""
+    @jax.jit
+    def _render(params, ro, rd, step):
+        return render_rays(cfg, params, ro, rd, None, step, train=False)
+    return _render
+
+
 def render_image(cfg: NSRConfig, params, c2w: np.ndarray, h: int, w: int,
                  step: int = 10 ** 9) -> Dict[str, np.ndarray]:
     """Full-frame eval render in ray chunks (reference ray_chunk eval path)."""
@@ -401,11 +414,11 @@ def render_image(cfg: NSRConfig, params, c2w: np.ndarray, h: int, w: int,
                                    np.asarray(c2w))
     n = rays_o.shape[0]
     chunks = []
+    _chunk = _render_chunk_fn(cfg)
+    step_dev = jnp.asarray(step, jnp.int32)
 
-    @jax.jit
     def _render(ro, rd):
-        return render_rays(cfg, params, ro, rd, None,
-                           jnp.asarray(step, jnp.int32), train=False)
+        return _chunk(params, ro, rd, step_dev)
 
     for i in range(0, n, cfg.ray_chunk):
         ro = jnp.asarray(rays_o[i:i + cfg.ray_chunk])

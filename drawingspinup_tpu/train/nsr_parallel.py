@@ -31,7 +31,13 @@ def make_train_step_dp(cfg: nsr.NSRConfig, tx, mesh: Mesh,
     n_active: static unlocked-hash-level count (see nsr.train_step) — build
     one step per progressive-band phase."""
     ndp = mesh.shape["dp"]
-    rays_per_device = max(cfg.train_num_rays // ndp, 1)
+    # ceil so the effective ray budget is never silently BELOW the config's
+    # (cfg 2048 on 6 devices → 342/dev = 2052 total, not 2046)
+    rays_per_device = max(-(-cfg.train_num_rays // ndp), 1)
+    if rays_per_device * ndp != cfg.train_num_rays:
+        print(f"[nsr dp] train_num_rays {cfg.train_num_rays} not divisible "
+              f"by dp={ndp}: using {rays_per_device}/device "
+              f"({rays_per_device * ndp} total)")
 
     def device_loss(params, data, key, step):
         k_pix, k_render = jax.random.split(key[0])
@@ -87,7 +93,8 @@ def production_train_step(cfg: nsr.NSRConfig, tx, n_active: int = None,
         ndev = len(jax.devices())
         from drawingspinup_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(ndev, dp=ndev)
-    key = (cfg, n_active, tuple(d.id for d in mesh.devices.flat))
+    key = (cfg, n_active, id(tx),
+           tuple(d.id for d in mesh.devices.flat))
     if key not in _PROD_CACHE:
         _PROD_CACHE[key] = make_train_step_dp(cfg, tx, mesh,
                                               n_active=n_active)
