@@ -40,11 +40,25 @@ _TARGET_ROWS = 1024
 
 def _shift_val(v: jnp.ndarray, sy: int, sx: int) -> jnp.ndarray:
     """shift2d semantics on a (B,H,W,O) VALUE: out[a,b] = v[a+sy, b+sx],
-    zero beyond the border (models/generator_j.py::shift2d)."""
-    pad = [(0, 0), (1, 1), (1, 1), (0, 0)]
-    padded = jnp.pad(v, pad)
-    return jax.lax.dynamic_slice(
-        padded, (0, 1 + sy, 1 + sx, 0), v.shape)
+    zero beyond the border (models/generator_j.py::shift2d).
+
+    Written as static roll + iota border mask: Mosaic's TPU lowering has
+    no pad/dynamic_slice, but roll decomposes to static slice+concat and
+    broadcasted_iota lowers natively (all shifts here are compile-time
+    constants in {-1,0,1})."""
+    if sy == 0 and sx == 0:
+        return v
+    _, h, w, _ = v.shape
+    out = v
+    if sy:
+        out = jnp.roll(out, -sy, axis=1)  # roll(v,-s)[a] = v[a+s]
+    if sx:
+        out = jnp.roll(out, -sx, axis=2)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    valid = ((rows + sy >= 0) & (rows + sy < h)
+             & (cols + sx >= 0) & (cols + sx < w))
+    return out * valid.astype(v.dtype)[None, :, :, None]
 
 
 def _fwd_kernel(x_ref, wk_ref, swf_ref, out_ref):
