@@ -10,6 +10,16 @@ chain — 9 tap matmuls (MXU), the per-pixel tap→shift contraction (VPU),
 and the 9 static shift-accumulates — in VMEM, so HBM traffic drops to
 x + wk + swf + out.
 
+Layout: everything is flattened to (rows = B_t·H·W, channels) 2D vectors
+so channels sit in lanes and rows in sublanes. A 2D shift by (sy, sx)
+becomes a roll of the rows axis by -(sy·W + sx) plus a per-row validity
+mask (precomputed host-side); wrap-around rows — including rows that
+would cross an image boundary when B_t > 1 — are provably zeroed by the
+same mask (a row wraps iff its 2D source is out of range). The earlier
+4D formulation padded O and W to 128 lanes (swf alone: 4.7 MB) and
+overflowed the 16 MB VMEM scoped allocation; this form keeps the whole
+forward under ~8 MB at the production patch shapes.
+
 Math is identical to the "fused" variant (same ``ric_shifted_weights``
 tensor, same ``shift2d`` zero-fill semantics, f32 matmul accumulation);
 summation order differs, so parity is ~1e-5, asserted by
@@ -26,6 +36,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -37,55 +49,68 @@ SHIFTS = [(sy, sx) for sy in (-1, 0, 1) for sx in (-1, 0, 1)]
 # f32 buffers at ≤4.7 MB so forward+backward stay well inside 16 MB VMEM
 _TARGET_ROWS = 1024
 
-
-def _shift_val(v: jnp.ndarray, sy: int, sx: int) -> jnp.ndarray:
-    """shift2d semantics on a (B,H,W,O) VALUE: out[a,b] = v[a+sy, b+sx],
-    zero beyond the border (models/generator_j.py::shift2d).
-
-    Written as static roll + iota border mask: Mosaic's TPU lowering has
-    no pad/dynamic_slice, but roll decomposes to static slice+concat and
-    broadcasted_iota lowers natively (all shifts here are compile-time
-    constants in {-1,0,1})."""
-    if sy == 0 and sx == 0:
-        return v
-    _, h, w, _ = v.shape
-    out = v
-    if sy:
-        out = jnp.roll(out, -sy, axis=1)  # roll(v,-s)[a] = v[a+s]
-    if sx:
-        out = jnp.roll(out, -sx, axis=2)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    valid = ((rows + sy >= 0) & (rows + sy < h)
-             & (cols + sx >= 0) & (cols + sx < w))
-    return out * valid.astype(v.dtype)[None, :, :, None]
+# Mosaic's default 16 MB scoped-vmem cap is far below the v5e's physical
+# VMEM; the unrolled 81 (rows, O) tap-broadcast temporaries are all hoisted
+# by the compiler, so the fwd kernel's stack peaks near 41 MB at rows=1024.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-def _fwd_kernel(x_ref, wk_ref, swf_ref, out_ref):
-    bt, h, w, c = x_ref.shape
+def _valid_masks(h: int, w: int) -> np.ndarray:
+    """(H·W, 9) f32: valid[p, i] = 1 where output pixel p's shifted source
+    (a+sy_i, b+sx_i) is inside the image — the shift2d zero-fill mask."""
+    rows, cols = np.mgrid[0:h, 0:w]
+    out = np.zeros((h * w, 9), np.float32)
+    for i, (sy, sx) in enumerate(SHIFTS):
+        ok = ((rows + sy >= 0) & (rows + sy < h)
+              & (cols + sx >= 0) & (cols + sx < w))
+        out[:, i] = ok.reshape(-1).astype(np.float32)
+    return out
+
+
+def _col(ref_slice: jnp.ndarray, bt: int, hw: int) -> jnp.ndarray:
+    """(hw, 1) column → (bt·hw, 1) by repetition along rows."""
+    if bt == 1:
+        return ref_slice
+    return jnp.broadcast_to(ref_slice[None], (bt, hw, 1)).reshape(bt * hw, 1)
+
+
+def _fwd_kernel(w: int, bt: int, x_ref, wk_ref, swf_ref, valid_ref, out_ref):
+    _, hw, c = x_ref.shape
     o = out_ref.shape[-1]
-    x_mat = x_ref[:].reshape(bt * h * w, c)
+    rows = bt * hw
+    x_mat = x_ref[:].reshape(rows, c)
     zs = [
         jnp.dot(x_mat, wk_ref[t], preferred_element_type=jnp.float32)
-        .reshape(bt, h, w, o)
         for t in range(9)
     ]
-    acc = jnp.zeros((bt, h, w, o), jnp.float32)
+    acc = jnp.zeros((rows, o), jnp.float32)
     for i, (sy, sx) in enumerate(SHIFTS):
-        y_i = zs[0] * swf_ref[i, 0][None, :, :, None]
+        y_i = zs[0] * _col(swf_ref[:, (i * 9):(i * 9) + 1], bt, hw)
         for t in range(1, 9):
-            y_i = y_i + zs[t] * swf_ref[i, t][None, :, :, None]
-        acc = acc + _shift_val(y_i, sy, sx)
-    out_ref[:] = acc
+            y_i = y_i + zs[t] * _col(swf_ref[:, (i * 9 + t):(i * 9 + t) + 1],
+                                     bt, hw)
+        off = sy * w + sx
+        # out[p] = valid_i[p] · y_i[p + off]; wrap rows are zeroed by valid
+        shifted = jnp.roll(y_i, -off, axis=0) if off else y_i
+        acc = acc + shifted * _col(valid_ref[:, i:i + 1], bt, hw)
+    out_ref[:] = acc.reshape(bt, hw, o)
 
 
-def _bwd_kernel(x_ref, wk_ref, swf_ref, g_ref, dx_ref, dwk_ref):
-    bt, h, w, c = x_ref.shape
+def _bwd_kernel(w: int, bt: int, x_ref, wk_ref, swf_ref, valid_ref, g_ref,
+                dx_ref, dwk_ref):
+    _, hw, c = x_ref.shape
     o = g_ref.shape[-1]
-    g = g_ref[:]
-    # d y_i = unshift(g); d z_t = Σ_i swf[i,t] ⊙ d y_i
-    daccs = [_shift_val(g, -sy, -sx) for (sy, sx) in SHIFTS]
-    x_mat = x_ref[:].reshape(bt * h * w, c)
+    rows = bt * hw
+    g = g_ref[:].reshape(rows, o)
+    # d y_i = roll(valid_i ⊙ g, +off_i): the forward's valid mask already
+    # zeroes every row whose roll would wrap (incl. across images in the
+    # B_t-tiled rows axis), so no post-roll mask is needed.
+    daccs = []
+    for i, (sy, sx) in enumerate(SHIFTS):
+        off = sy * w + sx
+        gi = g * _col(valid_ref[:, i:i + 1], bt, hw)
+        daccs.append(jnp.roll(gi, off, axis=0) if off else gi)
+    x_mat = x_ref[:].reshape(rows, c)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -93,20 +118,20 @@ def _bwd_kernel(x_ref, wk_ref, swf_ref, g_ref, dx_ref, dwk_ref):
 
     dx = None
     for t in range(9):
-        dz = daccs[0] * swf_ref[0, t][None, :, :, None]
+        dz = daccs[0] * _col(swf_ref[:, t:t + 1], bt, hw)
         for i in range(1, 9):
-            dz = dz + daccs[i] * swf_ref[i, t][None, :, :, None]
-        dz_m = dz.reshape(bt * h * w, o)
+            dz = dz + daccs[i] * _col(swf_ref[:, (i * 9 + t):(i * 9 + t) + 1],
+                                      bt, hw)
         # dx += dz · Wkᵀ  (contract O)
         term = jax.lax.dot_general(
-            dz_m, wk_ref[t], (((1,), (1,)), ((), ())),
+            dz, wk_ref[t], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         dx = term if dx is None else dx + term
         # dWk[t] += xᵀ · dz  (contract rows)
         dwk_ref[t] += jax.lax.dot_general(
-            x_mat, dz_m, (((0,), (0,)), ((), ())),
+            x_mat, dz, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    dx_ref[:] = dx.reshape(bt, h, w, c)
+    dx_ref[:] = dx.reshape(bt, hw, c)
 
 
 def _pick_bt(n: int, hw: int) -> int:
@@ -121,47 +146,67 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def _flatten_inputs(x, swf):
+    """(N,H,W,C) → (N,HW,C); swf (9,9,H,W) → (HW, 81) with column i·9+t;
+    plus the (HW, 9) validity masks (host constants)."""
+    n, h, w, c = x.shape
+    x2 = x.reshape(n, h * w, c)
+    swf2 = jnp.transpose(swf, (2, 3, 0, 1)).reshape(h * w, 81)
+    valid = jnp.asarray(_valid_masks(h, w))
+    return x2, swf2, valid
+
+
 def _fwd_call(x, wk, swf):
     n, h, w, c = x.shape
     o = wk.shape[-1]
-    bt = _pick_bt(n, h * w)
-    return pl.pallas_call(
-        _fwd_kernel,
+    hw = h * w
+    bt = _pick_bt(n, hw)
+    x2, swf2, valid = _flatten_inputs(x, swf)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, w, bt),
         grid=(n // bt,),
         in_specs=[
-            pl.BlockSpec((bt, h, w, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bt, hw, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, c, o), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, 9, h, w), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((hw, 81), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hw, 9), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bt, h, w, o), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((bt, hw, o), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, o), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, hw, o), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(x, wk, swf)
+    )(x2, wk, swf2, valid)
+    return out.reshape(n, h, w, o)
 
 
 def _bwd_call(x, wk, swf, g):
     n, h, w, c = x.shape
     o = wk.shape[-1]
-    bt = _pick_bt(n, h * w)
-    return pl.pallas_call(
-        _bwd_kernel,
+    hw = h * w
+    bt = _pick_bt(n, hw)
+    x2, swf2, valid = _flatten_inputs(x, swf)
+    dx, dwk = pl.pallas_call(
+        functools.partial(_bwd_kernel, w, bt),
         grid=(n // bt,),
         in_specs=[
-            pl.BlockSpec((bt, h, w, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bt, hw, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, c, o), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, 9, h, w), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((hw, 81), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, h, w, o), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((hw, 9), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, hw, o), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((bt, h, w, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bt, hw, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             # constant index map: the (9,C,O) gradient block stays resident
             # and accumulates across the sequential batch grid
@@ -169,11 +214,13 @@ def _bwd_call(x, wk, swf, g):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n, h, w, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, hw, c), jnp.float32),
             jax.ShapeDtypeStruct((9, c, o), jnp.float32),
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(x, wk, swf, g)
+    )(x2, wk, swf2, valid, g.reshape(n, hw, o))
+    return dx.reshape(n, h, w, c), dwk
 
 
 @jax.custom_vjp

@@ -14,13 +14,12 @@ around XLA's static-shape model:
   sequential FD gradient evals              one batched field eval
 
 The NeuS alpha math (sigmoid-CDF section estimate with cosine annealing,
-reference ``get_alpha`` neus.py:90-112) is preserved exactly. An
-``OccupancyGrid`` (128³, reference neus.py:70-84) is provided for
-empty-space suppression and the num-samples statistic.
+reference ``get_alpha`` neus.py:90-112) is preserved exactly. Empty-space
+suppression (reference nerfacc OccupancyGrid, neus.py:70-84) is done by
+``render/hull.py``'s static visual-hull t-ranges instead.
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -116,47 +115,8 @@ def composite(alpha: jnp.ndarray, values: Dict[str, jnp.ndarray]
         out["comp_" + k] = jnp.sum(weights[..., None] * v, axis=-2)
     return out
 
-
-# ---------------------------------------------------------------------------
-# Occupancy grid (reference nerfacc OccupancyGrid + neus.py:70-84)
-# ---------------------------------------------------------------------------
-
-@dataclasses.dataclass(frozen=True)
-class OccupancyGridConfig:
-    resolution: int = 128
-    radius: float = 1.0
-    occ_threshold: float = 0.001
-    ema_decay: float = 0.95
-    update_interval: int = 16
-
-
-def init_occupancy(cfg: OccupancyGridConfig) -> jnp.ndarray:
-    """Occupancy value grid (res³,) — starts fully occupied."""
-    return jnp.ones((cfg.resolution ** 3,), jnp.float32)
-
-
-def grid_cell_centers(cfg: OccupancyGridConfig) -> jnp.ndarray:
-    """(res³, 3) world-space cell centers."""
-    r = cfg.resolution
-    idx = jnp.arange(r ** 3)
-    z = idx % r
-    y = (idx // r) % r
-    x = idx // (r * r)
-    c = (jnp.stack([x, y, z], -1).astype(jnp.float32) + 0.5) / r
-    return c * 2 * cfg.radius - cfg.radius
-
-
-def update_occupancy(cfg: OccupancyGridConfig, occ: jnp.ndarray,
-                     alphas: jnp.ndarray) -> jnp.ndarray:
-    """EMA update with per-cell alpha estimates (nerfacc semantics)."""
-    return jnp.maximum(occ * cfg.ema_decay, alphas)
-
-
-def query_occupancy(cfg: OccupancyGridConfig, occ: jnp.ndarray,
-                    x: jnp.ndarray) -> jnp.ndarray:
-    """(P, 3) world points → (P,) 1.0 where the containing cell is occupied."""
-    r = cfg.resolution
-    u = jnp.clip((x + cfg.radius) / (2 * cfg.radius), 0.0, 1.0 - 1e-6)
-    cell = (u * r).astype(jnp.int32)
-    flat = cell[..., 0] * r * r + cell[..., 1] * r + cell[..., 2]
-    return (occ[flat] > cfg.occ_threshold).astype(jnp.float32)
+# NOTE: the reference's nerfacc OccupancyGrid (neus.py:70-84) has no
+# runtime equivalent here by design — render/hull.py's static visual-hull
+# t-ranges replace dynamic empty-space pruning (quality-gated in
+# PERF_NOTES.md r2); an EMA-grid port existed through round 2 but was
+# dead code and was removed.

@@ -58,10 +58,13 @@ class GANConfig:
     # intermediates that bind the train step. A/B'd before adoption
     # (scripts/bench_gan_dtype.py, PERF_NOTES.md).
     compute_dtype: str = "float32"
-    # RICConv op schedule for TRAINING: "fused" (XLA) | "pallas"
-    # (kernels/ric_conv.py, VMEM-resident). Adoption gated on the on-chip
-    # A/B (scripts/bench_ric_pallas.py); inference always uses "pershift".
-    ric_variant: str = "fused"
+    # RICConv op schedule for TRAINING: "pallas" (kernels/ric_conv.py,
+    # VMEM-resident) | "fused" (XLA). Adopted after the on-chip A/B
+    # (scripts/bench_ric_pallas.py, 2026-08-18): full train step 8.35 ms
+    # pallas vs 12.06 ms fused (−31%), forward 9.62 vs 13.00 ms; exact-math
+    # parity in tests/test_ric_pallas.py. Inference always uses "pershift"
+    # (full 512² frames exceed the kernel's VMEM-resident row budget).
+    ric_variant: str = "pallas"
 
 
 class GANState(NamedTuple):
