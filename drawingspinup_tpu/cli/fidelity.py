@@ -13,9 +13,11 @@ moment a user has both trees:
 
 Compares every stage boundary of the per-uid contract that exists on both
 sides — char/ffc_resnet_inpainted.png, mv/{color,normal,mask}/*,
-blender_render/<action>/{res_stage1*,res_stage2*}/* — and prints a JSON
-report with PSNR / SSIM / perceptual distance per file plus per-stage
-aggregates.
+blender_render/<action>/{res_stage1*,res_stage2*}/*, the recon mesh OBJs
+(symmetric chamfer + nearest-neighbor vertex-color MSE) and the final GIFs
+(frame-by-frame PSNR/SSIM) — and prints a JSON report with per-file metrics
+plus per-stage aggregates. With meshes and GIFs included, one command now
+covers the FULL per-uid artifact contract (reference README.md:57-101).
 """
 from __future__ import annotations
 
@@ -61,7 +63,10 @@ def main(argv=None) -> int:
     if args.vgg_npz:
         os.environ.setdefault("DSU_VGG19_NPZ", args.vgg_npz)
 
-    from drawingspinup_tpu.utils.quality import compare_stage_outputs
+    from drawingspinup_tpu.core import UidPaths
+    from drawingspinup_tpu.utils.quality import (
+        compare_gif, compare_mesh, compare_stage_outputs,
+    )
 
     report = {}
     for stage, ours_dir in _stage_dirs(args.ours, args.uid):
@@ -76,6 +81,40 @@ def main(argv=None) -> int:
                    for k in ("psnr", "ssim", "perceptual")}
         report[stage] = {"files": files, "aggregate": agg,
                          "n": len(scored)}
+
+    ours_p = UidPaths(args.ours, args.uid)
+    theirs_p = UidPaths(args.theirs, args.uid)
+
+    # recon meshes: every same-named OBJ (chamfer + vertex-color MSE)
+    if os.path.isdir(ours_p.mesh_dir) and os.path.isdir(theirs_p.mesh_dir):
+        meshes = {}
+        for name in sorted(os.listdir(ours_p.mesh_dir)):
+            if not name.endswith(".obj"):
+                continue
+            pb = os.path.join(theirs_p.mesh_dir, name)
+            if not os.path.exists(pb):
+                meshes[name] = {"missing": True}
+                continue
+            meshes[name] = compare_mesh(
+                os.path.join(ours_p.mesh_dir, name), pb)
+        if meshes:
+            report["stage2b_mesh"] = {"files": meshes}
+
+    # final GIFs: frame-by-frame
+    if os.path.isdir(ours_p.gif_dir) and os.path.isdir(theirs_p.gif_dir):
+        gifs = {}
+        for name in sorted(os.listdir(ours_p.gif_dir)):
+            if not name.endswith(".gif"):
+                continue
+            pb = os.path.join(theirs_p.gif_dir, name)
+            if not os.path.exists(pb):
+                gifs[name] = {"missing": True}
+                continue
+            r = compare_gif(os.path.join(ours_p.gif_dir, name), pb)
+            del r["frames"]      # keep the report compact; aggregate stays
+            gifs[name] = r
+        if gifs:
+            report["gif"] = {"files": gifs}
 
     text = json.dumps(report, indent=2, default=float)
     if args.out:

@@ -64,9 +64,12 @@ def main(argv=None) -> int:
     unet_kw = {}
     if args.tiny:
         from drawingspinup_tpu.models.unet_mv2d import UNetMVConfig
+        from drawingspinup_tpu.models.vae import VAEConfig
         unet_kw["unet"] = UNetMVConfig(block_out_channels=(32, 64, 64, 64),
                                        attention_heads=4,
                                        cross_attention_dim=32)
+        unet_kw["vae"] = VAEConfig(block_out_channels=(8, 8, 8, 8),
+                                   layers_per_block=1)
     cfg = mv.MVPipelineConfig(num_inference_steps=args.steps,
                               image_size=args.size, out_size=args.out_size,
                               eta=float(pvk.get("eta", 1.0)),

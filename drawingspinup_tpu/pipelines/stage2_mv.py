@@ -36,7 +36,7 @@ from drawingspinup_tpu.models.clip_vision import (
     preprocess as clip_preprocess,
 )
 from drawingspinup_tpu.models.unet_mv2d import UNetMV2D, UNetMVConfig
-from drawingspinup_tpu.models.vae import AutoencoderKL
+from drawingspinup_tpu.models.vae import AutoencoderKL, VAEConfig
 from drawingspinup_tpu.ops import diffusion as D
 from drawingspinup_tpu.ops.image import resize
 
@@ -96,6 +96,8 @@ class MVPipelineConfig:
     unet: UNetMVConfig = UNetMVConfig()
     ddim: D.DDIMConfig = D.DDIMConfig()
     clip: Optional[CLIPVisionConfig] = None  # default: match unet cross dim
+    vae: Optional["VAEConfig"] = None        # default: full SD VAE; tiny
+                                             # configs avoid its init compile
     num_views: int = 6
     image_size: int = 256
     num_inference_steps: int = 75
@@ -107,6 +109,9 @@ class MVPipelineConfig:
     # MXU-rate matmuls, no loss scaling needed. DDIM scheduler math and the
     # one-shot VAE/CLIP passes stay float32.
     compute_dtype: str = "bfloat16"
+
+    def vae_config(self) -> "VAEConfig":
+        return self.vae if self.vae is not None else VAEConfig()
 
     def clip_config(self) -> CLIPVisionConfig:
         if self.clip is not None:
@@ -144,7 +149,7 @@ class MVPipeline:
     def __init__(self, cfg: MVPipelineConfig, params: Dict):
         self.cfg = cfg
         self.unet = UNetMV2D(cfg.unet)
-        self.vae = AutoencoderKL()
+        self.vae = AutoencoderKL(cfg.vae_config())
         self.clip = CLIPVisionModelWithProjection(cfg.clip_config())
         self.params = params
         self.acp = jnp.asarray(D.alphas_cumprod(cfg.ddim))
@@ -156,7 +161,7 @@ class MVPipeline:
         latent = latent_hw or cfg.image_size // 8
         k1, k2, k3 = jax.random.split(key, 3)
         unet = UNetMV2D(cfg.unet)
-        vae = AutoencoderKL()
+        vae = AutoencoderKL(cfg.vae_config())
         clip = CLIPVisionModelWithProjection(cfg.clip_config())
         nv2 = cfg.num_views * 2
         # init MUST be jitted: flax runs the init forward pass eagerly, and

@@ -270,6 +270,29 @@ def _load_safetensors_dir(d: str) -> Dict[str, np.ndarray]:
     return out
 
 
+# Checkpoint-side renames the reference applies before loading
+# (unet_mv2d_condition.py:1318-1332): Wonder3D checkpoints store the joint
+# blocks under their original training names; the module graph (and our flax
+# modules) use the *_last/*_mid names.
+_JOINT_RENAMES = (("attn_joint_twice.", "attn_joint_mid."),
+                  ("norm_joint_twice.", "norm_joint_mid."),
+                  ("attn_joint.", "attn_joint_last."),
+                  ("norm_joint.", "norm_joint_last."))
+
+
+def rename_joint_keys(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """attn_joint.→attn_joint_last. etc. — the *_twice rules must run first
+    (attn_joint. is a prefix-substring of attn_joint_twice.)."""
+    out = {}
+    for k, v in state.items():
+        for old, new in _JOINT_RENAMES:
+            if old in k:
+                k = k.replace(old, new)
+                break
+        out[k] = v
+    return out
+
+
 def overlay(params: Dict, state: Dict[str, np.ndarray],
             mapper: Callable[[Tuple[str, ...]], Optional[Tuple[str, Callable]]],
             strict: bool = False) -> Tuple[Dict, int, int]:
@@ -285,18 +308,28 @@ def overlay(params: Dict, state: Dict[str, np.ndarray],
         if mapped and mapped[0] in state:
             val = mapped[1](state[mapped[0]])
             if val.shape != leaf.shape:
-                # conv_in zero-padded extra channels (reference
-                # unet_mv2d_condition.py:1345-1351)
+                # conv_in zero-padded extra input channels (reference
+                # unet_mv2d_condition.py:1345-1351, zero_init_conv_in=True)
                 if path[0] == "conv_in" and path[-1] == "kernel" \
                         and val.shape[:2] == leaf.shape[:2] \
                         and val.shape[3] == leaf.shape[3]:
                     pad = np.zeros(leaf.shape, val.dtype)
                     pad[:, :, : val.shape[2]] = val
                     val = pad
+                # conv_out 4→8 output channels: copy SD's 4 into both halves
+                # (unet_mv2d_condition.py:1353-1358, out_channels == 8; the
+                # reference copies only the weight — a mismatched bias stays
+                # at model init via ignore_mismatched_sizes)
+                elif path[0] == "conv_out" and path[-1] == "kernel" \
+                        and val.shape[-1] * 2 == leaf.shape[-1] \
+                        and val.shape[:-1] == leaf.shape[:-1]:
+                    val = np.concatenate([val, val], axis=-1)
                 else:
                     miss += 1
                     continue
-            flat[path] = jnp.asarray(val)
+            # fp16-variant checkpoints land at the tree's dtype (the compute
+            # dtype is applied per-op at apply time, not baked into params)
+            flat[path] = jnp.asarray(val, dtype=leaf.dtype)
             hit += 1
         else:
             miss += 1
@@ -314,6 +347,8 @@ def load_wonder3d_params(ckpt_dir: str, params: Dict) -> Dict:
         key = "clip" if part == "image_encoder" else part
         if os.path.isdir(sub) and key in out:
             state = _load_safetensors_dir(sub)
+            if part == "unet":
+                state = rename_joint_keys(state)
             out[key], hit, miss = overlay(out[key], state, mapper)
             print(f"[wonder3d port] {part}: {hit} loaded, {miss} unmapped")
     return out

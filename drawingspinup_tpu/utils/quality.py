@@ -72,6 +72,72 @@ def perceptual_distance(a: np.ndarray, b: np.ndarray,
     return float(jnp.mean((fa - fb) ** 2))
 
 
+def chamfer_distance(va: np.ndarray, vb: np.ndarray,
+                     n_sample: int = 20000, seed: int = 0) -> float:
+    """Symmetric point-set chamfer (mean of both nearest-neighbor means)
+    over vertex samples. Units = mesh units (the pipeline's meshes live in
+    the [-0.5, 0.5]³ export box, render/mesh_post.py)."""
+    from scipy.spatial import cKDTree
+
+    rng = np.random.default_rng(seed)
+
+    def sample(v):
+        if len(v) > n_sample:
+            v = v[rng.choice(len(v), n_sample, replace=False)]
+        return np.asarray(v, np.float64)
+
+    sa, sb = sample(va), sample(vb)
+    d_ab = cKDTree(sb).query(sa, k=1)[0]
+    d_ba = cKDTree(sa).query(sb, k=1)[0]
+    return float(d_ab.mean() + d_ba.mean()) / 2.0
+
+
+def compare_mesh(path_a: str, path_b: str, n_sample: int = 20000) -> dict:
+    """Compare two OBJ meshes: symmetric chamfer over vertices + vertex-color
+    MSE matched by nearest neighbor (vertex counts/orders need not agree)."""
+    from scipy.spatial import cKDTree
+
+    from drawingspinup_tpu.core.io import read_obj
+
+    va, fa, ca = read_obj(path_a)
+    vb, fb, cb = read_obj(path_b)
+    out = {"n_verts": (int(len(va)), int(len(vb))),
+           "n_faces": (int(len(fa)), int(len(fb))),
+           "chamfer": chamfer_distance(va, vb, n_sample=n_sample)}
+    if ca is not None and cb is not None:
+        idx = cKDTree(vb).query(va, k=1)[1]
+        out["color_mse"] = float(np.mean((ca - cb[idx]) ** 2))
+    return out
+
+
+def read_gif_frames(path: str) -> list:
+    """GIF → list of (H, W, 3) float [0,1] frames (full-frame composites,
+    honoring disposal)."""
+    from PIL import Image
+
+    frames = []
+    with Image.open(path) as im:
+        try:
+            while True:
+                frames.append(np.asarray(im.convert("RGB"), np.float32) / 255.0)
+                im.seek(im.tell() + 1)
+        except EOFError:
+            pass
+    return frames
+
+
+def compare_gif(path_a: str, path_b: str) -> dict:
+    """Frame-by-frame PSNR/SSIM over the common frame prefix."""
+    fa, fb = read_gif_frames(path_a), read_gif_frames(path_b)
+    n = min(len(fa), len(fb))
+    per = [{"psnr": psnr(fa[i], fb[i]), "ssim": ssim(fa[i], fb[i])}
+           for i in range(n)]
+    agg = {}
+    if per:
+        agg = {k: sum(p[k] for p in per) / n for k in ("psnr", "ssim")}
+    return {"n_frames": (len(fa), len(fb)), "frames": per, "aggregate": agg}
+
+
 def compare_stage_outputs(dir_a: str, dir_b: str) -> dict:
     """Compare every same-named PNG in two stage-output directories."""
     import os

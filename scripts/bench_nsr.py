@@ -78,12 +78,60 @@ FIGURE_SPHERES = [  # (cx, cy, cz, r)
 ]
 
 
-def make_figure_dataset(n_views=6, size=1024, hull=False, scene_radius=1.0):
-    """Analytic ortho renders of the union-of-spheres figure."""
+# Asymmetric ARTICULATED figure (VERDICT r2 next #7): limbs displaced in y
+# (the camera-depth axis of the front view) so side views self-occlude, with
+# bent joints creating concavities and inter-limb gaps the symmetric stick
+# figure cannot produce — the reference's real regime (concave characters
+# with self-occlusion, instant_nsr/datasets/ortho.py:100-158).
+ARTICULATED_SPHERES = [  # (cx, cy, cz, r)
+    (0.02, 0.06, 0.55, 0.15),                              # head, tilted
+    (0.0, 0.0, 0.27, 0.14),                                # chest
+    (0.02, -0.03, 0.02, 0.12),                             # belly
+    (-0.20, 0.10, 0.36, 0.065), (-0.30, 0.24, 0.44, 0.055),  # L arm raised fwd
+    (0.21, -0.06, 0.30, 0.065), (0.26, -0.12, 0.12, 0.055),  # R arm down/back
+    (-0.09, 0.10, -0.22, 0.075), (-0.12, 0.22, -0.44, 0.065),  # L leg forward
+    (0.10, -0.08, -0.25, 0.075), (0.12, -0.16, -0.50, 0.065),  # R leg back
+]
+
+
+def spheres_sdf(points, spheres):
+    """Exact union-of-spheres SDF (outside; inside is a lower bound —
+    sufficient for surface distance)."""
+    pts = np.asarray(points, np.float32)
+    d = np.full(len(pts), np.inf, np.float32)
+    for cx, cy, cz, r in spheres:
+        d = np.minimum(d, np.linalg.norm(
+            pts - np.asarray([cx, cy, cz], np.float32), axis=-1) - r)
+    return d
+
+
+def sample_spheres_surface(spheres, n=20000, seed=0):
+    """~n points on the union surface (per-sphere area-weighted direction
+    samples, points inside another sphere rejected)."""
+    rng = np.random.default_rng(seed)
+    spheres = np.asarray(spheres, np.float32)
+    areas = spheres[:, 3] ** 2
+    counts = np.maximum((n * areas / areas.sum()).astype(int), 1)
+    pts = []
+    for (cx, cy, cz, r), m in zip(spheres, counts):
+        d = rng.normal(size=(int(m * 1.5), 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        p = np.asarray([cx, cy, cz], np.float32) + r * d.astype(np.float32)
+        keep = spheres_sdf(p, spheres) > -1e-4
+        pts.append(p[keep])
+    return np.concatenate(pts)
+
+
+def make_figure_dataset(n_views=6, size=1024, hull=False, scene_radius=1.0,
+                        spheres=None):
+    """Analytic ortho renders of a union-of-spheres figure
+    (default: the symmetric stick figure; pass ARTICULATED_SPHERES for the
+    asymmetric self-occluding one)."""
     views = list(VIEWS[:n_views])
     c2ws, _ = view_matrices(views)
     origins, dirs = ortho_ray_grid(size, size)
-    spheres = np.asarray(FIGURE_SPHERES, np.float32)
+    spheres = np.asarray(FIGURE_SPHERES if spheres is None else spheres,
+                         np.float32)
     images, normals, masks = [], [], []
     for c2w in c2ws:
         ro, rd = rays_to_world(origins.reshape(-1, 3), dirs.reshape(-1, 3),

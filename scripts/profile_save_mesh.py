@@ -93,6 +93,9 @@ def main():
     fm = (front_mask > 0.5).astype(np.uint8) * 255
     fm2 = mesh_post._resize_nearest(fm, cres)
     lap("cbp.erode19", lambda: sk.erode(fm2, 19))
+    # NOTE (ADVICE r2): color_projection raycasts in MESH space (mesh_post.py
+    # passes `verts`, not the pixel-scaled raster verts — only rasterize uses
+    # rv), so timing with v3 here decomposes the real sub-step faithfully.
     lap("cbp.raycast_vis",
         lambda: native.raycast_z(v3, faces, v3 + np.asarray([0, 0, 1e-4]), +1))
     colors = lap("color_projection_total",

@@ -1,0 +1,431 @@
+"""Executed weight-ingestion seam (VERDICT r2 missing #1 / next #3).
+
+The reference's behavior is defined by pretrained weights at four points:
+the Wonder3D diffusers checkpoint dir (unet/ vae/ image_encoder/
+safetensors, loaded through the SD→MV surgery of
+``2_charactor_reconstructor/mvdiffusion/models/unet_mv2d_condition.py:1316-1361``),
+the flat LaMa generator state_dict (``1_lama_contour_remover/predict.py:14-18``),
+ImageNet VGG19 (``3_style_translator/training/models.py:480-548``), and the
+ISNet matte weights (``mv.py:17-18``).  No real checkpoints exist in this
+environment, so these tests build tiny *synthetic* checkpoint files/dirs
+carrying known values and execute every loader end-to-end — file I/O, dtype
+handling, key renames, and missing-key surgery semantics — so a break in any
+loader seam fails a test rather than surfacing on first real-weight contact.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import flax.traverse_util as tu
+import jax
+import jax.numpy as jnp
+
+from drawingspinup_tpu.models.unet_mv2d import UNetMVConfig
+from drawingspinup_tpu.models.vae import VAEConfig
+from drawingspinup_tpu.pipelines import stage2_mv as MV
+from drawingspinup_tpu.utils import diffusers_port as dp
+
+TINY_UNET = UNetMVConfig(block_out_channels=(32, 64, 64, 64),
+                         attention_heads=4, cross_attention_dim=32,
+                         num_views=2)
+# tiny VAE: the full SD VAE's init compile is ~1 min on the test CPU
+TINY_VAE = VAEConfig(block_out_channels=(8, 8, 8, 8), layers_per_block=1)
+TINY_CFG = MV.MVPipelineConfig(unet=TINY_UNET, vae=TINY_VAE, num_views=2,
+                               image_size=64, num_inference_steps=2,
+                               out_size=32)
+
+# Reverse of diffusers_port._JOINT_RENAMES: what a Wonder3D checkpoint
+# actually stores on disk (pre-rename training names).
+_PRE_RENAME = (("attn_joint_mid.", "attn_joint_twice."),
+               ("norm_joint_mid.", "norm_joint_twice."),
+               ("attn_joint_last.", "attn_joint."),
+               ("norm_joint_last.", "norm_joint."))
+
+
+def _invert(tf, v):
+    """Build the diffusers-layout array whose forward transform is v."""
+    v = np.asarray(v)
+    if tf is dp._t_dense:
+        return v.T
+    if tf is dp._t_conv:
+        return v.transpose(3, 2, 0, 1)
+    if tf is dp._t_none:
+        return v
+    # proj_in/proj_out lambda: flax Dense (in,out) ← torch 1×1 conv OI11
+    return v.T[:, :, None, None]
+
+
+def synth_state(params, mapper):
+    """Invert a flax param tree into a diffusers state dict carrying the
+    SOURCE tree's values, asserting the mapping is total."""
+    state, unmapped = {}, []
+    for path, leaf in tu.flatten_dict(params).items():
+        m = mapper(tuple(path))
+        if m is None:
+            unmapped.append(path)
+            continue
+        state[m[0]] = _invert(m[1], leaf)
+    assert not unmapped, f"unmapped flax leaves: {unmapped[:5]}"
+    return state
+
+
+def write_wonder3d_dir(root, params, unet_state=None, dtype=np.float32):
+    """Lay out a diffusers-style checkpoint dir from pipeline params."""
+    from safetensors.numpy import save_file
+    parts = {"unet": (unet_state if unet_state is not None
+                      else synth_state(params["unet"], dp.map_unet_key)),
+             "vae": synth_state(params["vae"], dp.map_vae_key),
+             "image_encoder": synth_state(params["clip"], dp.map_clip_key)}
+    for part, state in parts.items():
+        d = os.path.join(root, part)
+        os.makedirs(d, exist_ok=True)
+        save_file({k: np.ascontiguousarray(v.astype(dtype))
+                   for k, v in state.items()},
+                  os.path.join(d, "model.safetensors"))
+    return root
+
+
+def pre_rename(state):
+    """Rename keys back to the on-disk Wonder3D names (attn_joint. etc.)."""
+    out = {}
+    for k, v in state.items():
+        for new, old in _PRE_RENAME:
+            if new in k:
+                k = k.replace(new, old)
+                break
+        out[k] = v
+    return out
+
+
+def assert_tree_equal(got, want, atol=0.0):
+    g, w = tu.flatten_dict(got), tu.flatten_dict(want)
+    assert set(g) == set(w)
+    for k in g:
+        np.testing.assert_allclose(np.asarray(g[k]), np.asarray(w[k]),
+                                   atol=atol, rtol=0, err_msg=str(k))
+
+
+class TestWonder3DIngestion:
+    def test_full_roundtrip_prerename_fp16(self, tmp_path):
+        """A complete fp16 Wonder3D dir with on-disk (pre-rename) joint keys
+        loads into every flax leaf: rename pass + transposes + dtype."""
+        src = MV.MVPipeline.init_random(TINY_CFG, jax.random.PRNGKey(1))
+        unet_state = pre_rename(synth_state(src.params["unet"],
+                                            dp.map_unet_key))
+        # the rename must actually have something to do
+        assert any("attn_joint." in k or "attn_joint_twice." in k
+                   for k in unet_state)
+        write_wonder3d_dir(str(tmp_path), src.params, unet_state=unet_state,
+                           dtype=np.float16)
+
+        pipe = MV.load_pretrained(TINY_CFG, str(tmp_path))
+        for part in ("unet", "vae", "clip"):
+            want = jax.tree.map(
+                lambda a: np.asarray(a).astype(np.float16).astype(np.float32),
+                src.params[part])
+            assert_tree_equal(pipe.params[part], want)
+            for leaf in tu.flatten_dict(pipe.params[part]).values():
+                assert jnp.asarray(leaf).dtype == jnp.float32
+
+    def test_base_sd_surgery(self, tmp_path):
+        """Base-SD checkpoint (no joint keys, 4-channel conv_in): joint
+        params stay at init, conv_in extra input channels zero-filled
+        (reference zero_init_conv_in=True, unet_mv2d_condition.py:1345-1351)."""
+        src = MV.MVPipeline.init_random(TINY_CFG, jax.random.PRNGKey(1))
+        state = synth_state(src.params["unet"], dp.map_unet_key)
+        sd_state = {k: (v[:, :4] if k == "conv_in.weight" else v)
+                    for k, v in state.items()
+                    if "_joint" not in k}
+        write_wonder3d_dir(str(tmp_path), src.params, unet_state=sd_state)
+
+        pipe = MV.load_pretrained(TINY_CFG, str(tmp_path))
+        init = MV.MVPipeline.init_random(TINY_CFG, jax.random.PRNGKey(0))
+        got = tu.flatten_dict(pipe.params["unet"])
+        want = tu.flatten_dict(src.params["unet"])
+        ini = tu.flatten_dict(init.params["unet"])
+        n_joint = 0
+        for path, v in got.items():
+            v = np.asarray(v)
+            if any("joint" in p for p in path):
+                np.testing.assert_array_equal(v, np.asarray(ini[path]),
+                                              err_msg=str(path))
+                n_joint += 1
+            elif path[0] == "conv_in" and path[-1] == "kernel":
+                np.testing.assert_array_equal(
+                    v[:, :, :4], np.asarray(want[path])[:, :, :4])
+                np.testing.assert_array_equal(v[:, :, 4:],
+                                              np.zeros_like(v[:, :, 4:]))
+            else:
+                np.testing.assert_array_equal(v, np.asarray(want[path]),
+                                              err_msg=str(path))
+        assert n_joint > 0
+
+    def test_conv_out_4to8_copy(self, tmp_path):
+        """out_channels=8 model from a 4-channel-conv_out SD checkpoint:
+        the 4 channels are copied into BOTH halves of the weight; the
+        mismatched bias stays at init (unet_mv2d_condition.py:1353-1358)."""
+        cfg8 = MV.MVPipelineConfig(
+            unet=UNetMVConfig(block_out_channels=(32, 64, 64, 64),
+                              attention_heads=4, cross_attention_dim=32,
+                              num_views=2, out_channels=8),
+            vae=TINY_VAE, num_views=2, image_size=64)
+        src = MV.MVPipeline.init_random(cfg8, jax.random.PRNGKey(1))
+        state = synth_state(src.params["unet"], dp.map_unet_key)
+        state["conv_out.weight"] = state["conv_out.weight"][:4]
+        state["conv_out.bias"] = state["conv_out.bias"][:4]
+        write_wonder3d_dir(str(tmp_path), src.params, unet_state=state)
+
+        pipe = MV.load_pretrained(cfg8, str(tmp_path))
+        init = MV.MVPipeline.init_random(cfg8, jax.random.PRNGKey(0))
+        k = np.asarray(pipe.params["unet"]["conv_out"]["kernel"])
+        want4 = np.asarray(src.params["unet"]["conv_out"]["kernel"])[..., :4]
+        np.testing.assert_array_equal(k[..., :4], want4)
+        np.testing.assert_array_equal(k[..., 4:], want4)
+        np.testing.assert_array_equal(
+            np.asarray(pipe.params["unet"]["conv_out"]["bias"]),
+            np.asarray(init.params["unet"]["conv_out"]["bias"]))
+
+    def test_rename_order(self):
+        """attn_joint_twice. must not be half-eaten by the attn_joint. rule."""
+        st = dp.rename_joint_keys({
+            "a.attn_joint.to_q.weight": 1, "a.norm_joint.weight": 2,
+            "a.attn_joint_twice.to_q.weight": 3,
+            "a.norm_joint_twice.bias": 4})
+        assert set(st) == {"a.attn_joint_last.to_q.weight",
+                           "a.norm_joint_last.weight",
+                           "a.attn_joint_mid.to_q.weight",
+                           "a.norm_joint_mid.bias"}
+
+    def test_mv_cli_with_ckpt(self, tmp_path, capsys):
+        """cli/mv.py --ckpt runs the real loader + generation end-to-end on
+        a synthetic checkpoint dir (the reference's mv.py user surface)."""
+        from drawingspinup_tpu.cli import mv as mv_cli
+        from drawingspinup_tpu.core import UidPaths
+        from drawingspinup_tpu.core.io import write_image
+
+        # param shapes are independent of num_views, so a ckpt generated
+        # from the cli's exact --tiny unet config loads cleanly
+        cli_unet = UNetMVConfig(block_out_channels=(32, 64, 64, 64),
+                                attention_heads=4, cross_attention_dim=32)
+        cli_cfg = MV.MVPipelineConfig(
+            unet=cli_unet, vae=VAEConfig(block_out_channels=(8, 8, 8, 8),
+                                         layers_per_block=1),
+            num_inference_steps=2, image_size=64, out_size=32)
+        src = MV.MVPipeline.init_random(cli_cfg, jax.random.PRNGKey(1))
+        ckpt = write_wonder3d_dir(str(tmp_path / "ckpt"), src.params)
+
+        root = tmp_path / "data"
+        paths = UidPaths(str(root), "toy")
+        size = 32
+        yy, xx = np.mgrid[0:size, 0:size]
+        mask = np.hypot(yy - size / 2, xx - size / 2) < size * 0.4
+        rgba = np.zeros((size, size, 4), np.float32)
+        rgba[mask] = [0.8, 0.5, 0.2, 1.0]
+        write_image(paths.texture, rgba)
+        os.makedirs(paths.char_dir, exist_ok=True)
+        write_image(os.path.join(paths.char_dir, "ffc_resnet_inpainted.png"),
+                    rgba)
+
+        rc = mv_cli.main(["--uid", "toy", "--root", str(root),
+                          "--ckpt", ckpt, "--tiny", "--steps", "2",
+                          "--size", "64", "--out-size", "32"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert '"written"' in out
+        assert os.path.exists(paths.mv("color", "front"))
+        # the loader must have hit every unet leaf (surgery-free full ckpt)
+        cached = mv_cli._PIPE_CACHE["pipe"]
+        np.testing.assert_array_equal(
+            np.asarray(cached.params["unet"]["conv_in"]["kernel"]),
+            np.asarray(src.params["unet"]["conv_in"]["kernel"]))
+
+
+class TestLamaCkptIngestion:
+    def test_predict_load_variables_torch_ckpt(self, tmp_path):
+        """cli/predict.py's torch-checkpoint branch: a .ckpt file written by
+        torch.save (bare state_dict, as the reference's load_checkpoint
+        consumes — predict.py:14-18) round-trips through
+        convert_ffc_generator into the init tree."""
+        torch = pytest.importorskip("torch")
+        from drawingspinup_tpu.cli import predict as predict_cli
+        from drawingspinup_tpu.core import load_config
+        from drawingspinup_tpu.pipelines import stage1
+        from drawingspinup_tpu.utils.torch_port import invert_to_torch_names
+
+        cfg = load_config(predict_cli.DEFAULT_CFG, [
+            f"pretrained.path={tmp_path}",
+            "pretrained.generator_checkpoint=gen.ckpt"])
+        model = stage1.build_generator(cfg)
+        src_vars = jax.jit(model.init)(jax.random.PRNGKey(3),
+                                       np.zeros((1, 64, 64, 4), np.float32))
+        sd = invert_to_torch_names(src_vars)
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in sd.items()},
+                   os.path.join(str(tmp_path), "gen.ckpt"))
+
+        loaded = predict_cli.load_variables(cfg, model)
+        got = tu.flatten_dict(loaded)
+        want = tu.flatten_dict(src_vars)
+        assert set(got) == set(want)
+        n_equal = 0
+        for k in want:
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(want[k]), rtol=0, atol=0,
+                                       err_msg=str(k))
+            n_equal += 1
+        assert n_equal > 100  # the whole lama-fourier tree, not a stub
+
+    def test_predict_load_variables_state_dict_wrapper(self, tmp_path):
+        """Lightning-style {'state_dict': ...} wrapping is unwrapped."""
+        torch = pytest.importorskip("torch")
+        from drawingspinup_tpu.cli import predict as predict_cli
+        from drawingspinup_tpu.core import load_config
+        from drawingspinup_tpu.pipelines import stage1
+        from drawingspinup_tpu.utils.torch_port import invert_to_torch_names
+
+        cfg = load_config(predict_cli.DEFAULT_CFG, [
+            f"pretrained.path={tmp_path}",
+            "pretrained.generator_checkpoint=wrapped.ckpt"])
+        model = stage1.build_generator(cfg)
+        src_vars = jax.jit(model.init)(jax.random.PRNGKey(4),
+                                       np.zeros((1, 64, 64, 4), np.float32))
+        sd = invert_to_torch_names(src_vars)
+        torch.save({"state_dict": {k: torch.from_numpy(
+            np.ascontiguousarray(v)) for k, v in sd.items()}},
+            os.path.join(str(tmp_path), "wrapped.ckpt"))
+        loaded = predict_cli.load_variables(cfg, model)
+        got = tu.flatten_dict(loaded)
+        want = tu.flatten_dict(src_vars)
+        # unwrapping worked → the converted weights landed (spot-check a
+        # deterministic sample of leaves)
+        for k in sorted(want)[::50]:
+            np.testing.assert_array_equal(np.asarray(got[k]),
+                                          np.asarray(want[k]),
+                                          err_msg=str(k))
+
+
+class TestVGGIngestion:
+    def test_npz_conversion_and_overlay(self, tmp_path):
+        """torchvision VGG19 state_dict → npz → overlay onto the extractor
+        (reference models.py:480-548 consumes torchvision ImageNet weights)."""
+        from drawingspinup_tpu.models.generator_j import (
+            PerceptualVGG19, load_vgg_weights_npz,
+        )
+        from drawingspinup_tpu.utils.torch_port import vgg19_features_to_npz
+
+        rng = np.random.default_rng(5)
+        plan = {0: (64, 3), 2: (64, 64), 5: (128, 64), 7: (128, 128)}
+        sd = {}
+        for ti, (out_c, in_c) in plan.items():
+            sd[f"features.{ti}.weight"] = rng.standard_normal(
+                (out_c, in_c, 3, 3)).astype(np.float32)
+            sd[f"features.{ti}.bias"] = rng.standard_normal(
+                out_c).astype(np.float32)
+        # plus deeper layers the converter must drop (max_index=7)
+        sd["features.10.weight"] = np.zeros((256, 128, 3, 3), np.float32)
+        npz = os.path.join(str(tmp_path), "vgg19.npz")
+        vgg19_features_to_npz(sd, npz)
+        assert "features.10.weight" not in dict(np.load(npz))
+
+        model = PerceptualVGG19()
+        variables = model.init(jax.random.PRNGKey(0),
+                               np.zeros((1, 32, 32, 3), np.float32))
+        loaded = load_vgg_weights_npz(variables, npz)
+        flat = tu.flatten_dict(loaded)
+        n_checked = 0
+        # default feature_layers=(0,3,5) instantiates vggconv0..2 (the plan
+        # stops past max(feature_layers)); the overlay skips absent convs
+        for conv_i, ti in enumerate([0, 2, 5, 7]):
+            fk = ("params", f"vggconv{conv_i}", "kernel")
+            if fk not in flat:
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(flat[fk]),
+                sd[f"features.{ti}.weight"].transpose(2, 3, 1, 0))
+            n_checked += 1
+        assert n_checked >= 3
+        # overlaid weights actually change the features
+        x = np.random.default_rng(6).random((1, 32, 32, 3)).astype(np.float32)
+        before = np.asarray(model.apply(variables, x))
+        after = np.asarray(model.apply(loaded, x))
+        assert np.abs(before - after).max() > 1e-3
+
+    def test_bare_sequential_keys(self, tmp_path):
+        """A bare ``N.{weight,bias}`` Sequential dict is also accepted."""
+        from drawingspinup_tpu.utils.torch_port import vgg19_features_to_npz
+        sd = {"0.weight": np.ones((64, 3, 3, 3), np.float32),
+              "0.bias": np.zeros(64, np.float32)}
+        npz = os.path.join(str(tmp_path), "bare.npz")
+        vgg19_features_to_npz(sd, npz)
+        data = dict(np.load(npz))
+        assert set(data) == {"features.0.weight", "features.0.bias"}
+
+
+class TestISNetIngestion:
+    def _synth_state(self, variables):
+        from drawingspinup_tpu.models.isnet import _src_names
+        state = {}
+        for coll in ("params", "batch_stats"):
+            for path, val in tu.flatten_dict(variables[coll]).items():
+                v = np.asarray(val)
+                if path[-2].startswith("side"):
+                    src = path[-2] + {"kernel": ".weight",
+                                      "bias": ".bias"}[path[-1]]
+                    if path[-1] == "kernel":
+                        v = np.transpose(v, (3, 2, 0, 1))
+                else:
+                    suffix = {"kernel": ".weight", "scale": ".weight",
+                              "bias": ".bias", "mean": ".running_mean",
+                              "var": ".running_var"}[path[-1]]
+                    src = _src_names(path) + suffix
+                    if path[-1] == "kernel":
+                        v = np.transpose(v, (3, 2, 0, 1))
+                state[src] = v
+        return state
+
+    def test_pth_file_via_env(self, tmp_path, monkeypatch):
+        """DSU_ISNET_CKPT → torch.load → porter, the production mask path
+        (pipelines/stage2_mv.py::_isnet_variables)."""
+        torch = pytest.importorskip("torch")
+        from drawingspinup_tpu.models.isnet import ISNetDIS
+
+        variables = jax.jit(ISNetDIS().init)(jax.random.PRNGKey(7),
+                                             jnp.zeros((1, 64, 64, 3)))
+        state = self._synth_state(variables)
+        pth = os.path.join(str(tmp_path), "isnet.pth")
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in state.items()}, pth)
+
+        monkeypatch.setenv("DSU_ISNET_CKPT", pth)
+        MV._ISNET_CACHE.clear()
+        try:
+            ported = MV._isnet_variables()
+            assert ported is not None
+            for coll in ("params", "batch_stats"):
+                assert_tree_equal(ported[coll], variables[coll])
+        finally:
+            MV._ISNET_CACHE.clear()
+
+    def test_npz_file_via_env(self, tmp_path, monkeypatch):
+        """The .npz branch of the same loader."""
+        from drawingspinup_tpu.models.isnet import ISNetDIS
+
+        variables = jax.jit(ISNetDIS().init)(jax.random.PRNGKey(8),
+                                             jnp.zeros((1, 64, 64, 3)))
+        state = self._synth_state(variables)
+        npz = os.path.join(str(tmp_path), "isnet.npz")
+        np.savez(npz, **state)
+
+        monkeypatch.setenv("DSU_ISNET_CKPT", npz)
+        MV._ISNET_CACHE.clear()
+        try:
+            ported = MV._isnet_variables()
+            assert ported is not None
+            np.testing.assert_array_equal(
+                np.asarray(tu.flatten_dict(ported["params"])[
+                    ("conv_in", "conv", "kernel")]),
+                np.asarray(tu.flatten_dict(variables["params"])[
+                    ("conv_in", "conv", "kernel")]))
+        finally:
+            MV._ISNET_CACHE.clear()
