@@ -321,8 +321,8 @@ def isosurface_from_level(level: np.ndarray, vmin: np.ndarray,
         crop = np.asarray(Image.fromarray(
             (np.clip(crop, 0, 1) * 255).astype(np.uint8)).resize(
             (resolution, resolution), Image.BICUBIC), np.float32)
-        carve = np.tile(crop[:, None, :], (1, resolution, 1)) > 127
-        binary = binary & carve
+        # broadcast, don't tile: np.tile materialized a second res³ bool
+        binary = binary & (crop[:, None, :] > 127)
 
     verts, faces = extract_isosurface(binary.astype(np.float32), sigma=1.0)
     verts = verts / (resolution - 1)
