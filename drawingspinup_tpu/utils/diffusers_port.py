@@ -293,6 +293,30 @@ def rename_joint_keys(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+# Deprecated VAE attention names (diffusers < 0.15 saved AttentionBlock as
+# query/key/value/proj_attn; modern Attention uses to_q/to_k/to_v/to_out.0 —
+# the reference runs diffusers' own _convert_deprecated_attention_blocks
+# for the UNet and from_pretrained handles the VAE; same conversion here).
+_DEPRECATED_ATTN = (("query.", "to_q."), ("key.", "to_k."),
+                    ("value.", "to_v."), ("proj_attn.", "to_out.0."))
+
+
+def convert_deprecated_attention(state: Dict[str, np.ndarray]
+                                 ) -> Dict[str, np.ndarray]:
+    """Rename old-style attention keys (scoped to ``attentions.`` blocks so
+    unrelated keys containing e.g. '.key.' are untouched). Linear weights
+    keep their (c, c) shape in both layouts — a pure rename."""
+    out = {}
+    for k, v in state.items():
+        if ".attentions." in k:
+            for old, new in _DEPRECATED_ATTN:
+                if "." + old in k:
+                    k = k.replace("." + old, "." + new)
+                    break
+        out[k] = v
+    return out
+
+
 def overlay(params: Dict, state: Dict[str, np.ndarray],
             mapper: Callable[[Tuple[str, ...]], Optional[Tuple[str, Callable]]],
             strict: bool = False) -> Tuple[Dict, int, int]:
@@ -349,6 +373,8 @@ def load_wonder3d_params(ckpt_dir: str, params: Dict) -> Dict:
             state = _load_safetensors_dir(sub)
             if part == "unet":
                 state = rename_joint_keys(state)
+            if part in ("unet", "vae"):
+                state = convert_deprecated_attention(state)
             out[key], hit, miss = overlay(out[key], state, mapper)
             print(f"[wonder3d port] {part}: {hit} loaded, {miss} unmapped")
     return out

@@ -186,6 +186,26 @@ class TestWonder3DIngestion:
             np.asarray(pipe.params["unet"]["conv_out"]["bias"]),
             np.asarray(init.params["unet"]["conv_out"]["bias"]))
 
+    def test_deprecated_vae_attention_names(self):
+        """diffusers<0.15 checkpoints store AttentionBlock as
+        query/key/value/proj_attn; the loader renames them to the modern
+        to_q/to_k/to_v/to_out.0 (scoped to attention blocks)."""
+        st = dp.convert_deprecated_attention({
+            "encoder.mid_block.attentions.0.query.weight": 1,
+            "encoder.mid_block.attentions.0.key.bias": 2,
+            "encoder.mid_block.attentions.0.value.weight": 3,
+            "encoder.mid_block.attentions.0.proj_attn.weight": 4,
+            "encoder.mid_block.attentions.0.group_norm.weight": 5,
+            # outside an attention block: untouched even though '.key.'-free
+            "encoder.down_blocks.0.resnets.0.conv1.weight": 6})
+        assert set(st) == {
+            "encoder.mid_block.attentions.0.to_q.weight",
+            "encoder.mid_block.attentions.0.to_k.bias",
+            "encoder.mid_block.attentions.0.to_v.weight",
+            "encoder.mid_block.attentions.0.to_out.0.weight",
+            "encoder.mid_block.attentions.0.group_norm.weight",
+            "encoder.down_blocks.0.resnets.0.conv1.weight"}
+
     def test_rename_order(self):
         """attn_joint_twice. must not be half-eaten by the attn_joint. rule."""
         st = dp.rename_joint_keys({
