@@ -40,7 +40,7 @@ def _dilate_mask(m: jnp.ndarray, px: int) -> jnp.ndarray:
 
 def hull_t_ranges(masks: jnp.ndarray, c2w: jnp.ndarray, radius: float,
                   compute_hw: Optional[int] = None, n_march: int = 128,
-                  dilate_px: int = 8, pad: float = 0.05,
+                  dilate_px: int = 24, pad: float = 0.05,
                   min_span: float = 0.1,
                   out_hw: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
     """Per-pixel visual-hull intervals for every view's ortho rays.
@@ -56,7 +56,12 @@ def hull_t_ranges(masks: jnp.ndarray, c2w: jnp.ndarray, radius: float,
 
     Conservative margins: `pad` world units + one march step on each end,
     and a `min_span` floor around the midpoint (keeps stratified jitter
-    meaningful and tolerates slightly eroded masks). Points projecting
+    meaningful and tolerates slightly eroded masks). dilate_px defaults to
+    24 (was 8): on the articulated-figure gate the d8 hull clipped thin
+    limbs (IoU 0.627 vs parity 0.673); d24 restores parity-grade quality
+    (IoU 0.669, chamfer 0.0342 ≡ parity) at identical train time and stays
+    quality-neutral on the symmetric thin-figure gate
+    (scripts/ab_articulated_hull_tune.py, ab_figure_d24.py, PERF_NOTES r3). Points projecting
     outside a view's [-1,1]² image count as inside for that view (the
     plane only covers the AABB cross-section for axis views).
 
