@@ -16,6 +16,24 @@ def save(path: str, tree: Any, force: bool = True) -> None:
         ckptr.save(path, tree, force=force)
 
 
+def save_async(path: str, tree: Any, force: bool = True):
+    """Start an orbax save and return a ``wait()`` finalizer.
+
+    StandardCheckpointer commits asynchronously; the blocking ``save()``
+    above pays the full disk commit inline (~10 s of the recon stage's
+    per-uid wall, PERF_NOTES r3). This form lets the caller overlap the
+    commit with device work (recon_uid overlaps it with the export grid
+    eval) and settle at ``wait()``."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=force)
+
+    def wait() -> None:
+        ckptr.wait_until_finished()
+        ckptr.close()
+
+    return wait
+
+
 def restore(path: str, template: Optional[Any] = None) -> Any:
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:

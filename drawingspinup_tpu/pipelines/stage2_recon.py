@@ -440,8 +440,11 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
                   f"inv_s={float(logs['inv_s']):.1f}")
     train_time = time.time() - t0
     t0 = time.time()
+    ckpt_wait = None
     if cfg.max_steps > start_step:
-        ckpt.save(ckpt.step_path(ckpt_root, cfg.max_steps), state)
+        # async: the disk commit overlaps the export grid eval below
+        ckpt_wait = ckpt.save_async(ckpt.step_path(ckpt_root, cfg.max_steps),
+                                    state)
     t_ckpt = time.time() - t0
 
     # device half of the export: fine SDF grid (sparse surface-band)
@@ -450,6 +453,10 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
                                          resolution=mc_resolution,
                                          step=cfg.max_steps)
     t_grid = time.time() - t0
+    if ckpt_wait is not None:
+        t0 = time.time()
+        ckpt_wait()
+        t_ckpt += time.time() - t0
 
     front_color = read_image(paths.mv("color", "front"))[..., :3] \
         if color_back_projection else None
