@@ -116,7 +116,19 @@ def main(argv=None) -> int:
         if gifs:
             report["gif"] = {"files": gifs}
 
-    text = json.dumps(report, indent=2, default=float)
+    def sanitize(o):
+        """inf/nan → strings: bare Infinity is not RFC JSON, and the
+        exact-match case (PSNR = inf) is this tool's headline success."""
+        import math
+        if isinstance(o, dict):
+            return {k: sanitize(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [sanitize(v) for v in o]
+        if isinstance(o, float) and not math.isfinite(o):
+            return "inf" if o > 0 else ("-inf" if o < 0 else "nan")
+        return o
+
+    text = json.dumps(sanitize(report), indent=2, default=float)
     if args.out:
         with open(args.out, "w") as f:
             f.write(text)

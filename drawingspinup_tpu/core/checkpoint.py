@@ -26,10 +26,13 @@ def save_async(path: str, tree: Any, force: bool = True):
     eval) and settle at ``wait()``."""
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(path), tree, force=force)
+    done = []
 
-    def wait() -> None:
-        ckptr.wait_until_finished()
-        ckptr.close()
+    def wait() -> None:          # idempotent: safe in finally + happy path
+        if not done:
+            done.append(True)
+            ckptr.wait_until_finished()
+            ckptr.close()
 
     return wait
 

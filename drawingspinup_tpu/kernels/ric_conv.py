@@ -90,9 +90,12 @@ def _fwd_kernel(w: int, bt: int, x_ref, wk_ref, swf_ref, valid_ref, out_ref):
             y_i = y_i + zs[t] * _col(swf_ref[:, (i * 9 + t):(i * 9 + t) + 1],
                                      bt, hw)
         off = sy * w + sx
-        # out[p] = valid_i[p] · y_i[p + off]; wrap rows are zeroed by valid
+        # out[p] = valid_i[p] ? y_i[p + off] : 0 — where, not multiply:
+        # a non-finite wrap value times 0 would be NaN, while shift2d's
+        # pad+slice guarantees hard zeros regardless of input (ADVICE r2)
         shifted = jnp.roll(y_i, -off, axis=0) if off else y_i
-        acc = acc + shifted * _col(valid_ref[:, i:i + 1], bt, hw)
+        acc = acc + jnp.where(
+            _col(valid_ref[:, i:i + 1], bt, hw) != 0, shifted, 0.0)
     out_ref[:] = acc.reshape(bt, hw, o)
 
 
@@ -102,13 +105,14 @@ def _bwd_kernel(w: int, bt: int, x_ref, wk_ref, swf_ref, valid_ref, g_ref,
     o = g_ref.shape[-1]
     rows = bt * hw
     g = g_ref[:].reshape(rows, o)
-    # d y_i = roll(valid_i ⊙ g, +off_i): the forward's valid mask already
-    # zeroes every row whose roll would wrap (incl. across images in the
-    # B_t-tiled rows axis), so no post-roll mask is needed.
+    # d y_i = roll(valid_i-select g, +off_i): the forward's valid mask
+    # already zeroes every row whose roll would wrap (incl. across images
+    # in the B_t-tiled rows axis), so no post-roll mask is needed. where,
+    # not multiply — hard zeros even under non-finite cotangents (ADVICE r2).
     daccs = []
     for i, (sy, sx) in enumerate(SHIFTS):
         off = sy * w + sx
-        gi = g * _col(valid_ref[:, i:i + 1], bt, hw)
+        gi = jnp.where(_col(valid_ref[:, i:i + 1], bt, hw) != 0, g, 0.0)
         daccs.append(jnp.roll(gi, off, axis=0) if off else gi)
     x_mat = x_ref[:].reshape(rows, c)
 

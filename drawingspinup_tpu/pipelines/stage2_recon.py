@@ -447,16 +447,21 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
                                     state)
     t_ckpt = time.time() - t0
 
-    # device half of the export: fine SDF grid (sparse surface-band)
-    t0 = time.time()
-    level, vmin, vmax = isosurface_level(cfg, state.params,
-                                         resolution=mc_resolution,
-                                         step=cfg.max_steps)
-    t_grid = time.time() - t0
-    if ckpt_wait is not None:
+    # device half of the export: fine SDF grid (sparse surface-band).
+    # finally: the async checkpoint MUST commit even if the grid eval dies
+    # (force=True already superseded any prior ckpt at that path — an
+    # uncommitted save would break sweep resume)
+    try:
         t0 = time.time()
-        ckpt_wait()
-        t_ckpt += time.time() - t0
+        level, vmin, vmax = isosurface_level(cfg, state.params,
+                                             resolution=mc_resolution,
+                                             step=cfg.max_steps)
+        t_grid = time.time() - t0
+    finally:
+        if ckpt_wait is not None:
+            t0 = time.time()
+            ckpt_wait()
+            t_ckpt += time.time() - t0
 
     front_color = read_image(paths.mv("color", "front"))[..., :3] \
         if color_back_projection else None

@@ -79,7 +79,9 @@ def main():
     # truncation: vs a float64 oracle the Pallas kernel is ~2e-7 while the
     # XLA einsum chain is ~1.5e-2/conv (measured 2026-08-18); exact math
     # parity is pinned by tests/test_ric_pallas.py in interpret mode.
-    assert err < 0.2, err
+    # Gate at ~3x that measured noise floor — tight enough that a broken
+    # Mosaic lowering (wrong shift/mask) cannot hide behind bf16 noise.
+    assert err < 5e-2, err
 
     arms = {
         "xla_fwd": lambda k: fwd_x(state.g_params, batch["pre"]),

@@ -147,25 +147,7 @@ def main():
     ]
     results = {}
     for label, cfg, data in arms:
-        tx = nsr.make_optimizer(cfg)
-        state = nsr.init_state(cfg, jax.random.PRNGKey(0))
-        key = jax.random.PRNGKey(1)
-        t0 = time.time()
-        for step in range(steps):
-            key, k = jax.random.split(key)
-            n_active = cfg.sdf.grid.current_level(step)
-            state, logs = nsr.train_step(cfg, tx, state, data, k,
-                                         n_active=n_active)
-            if step % 1000 == 0 or step == steps - 1:
-                print(f"[{label}] step {step}: "
-                      f"loss={float(logs['loss']):.5f}", flush=True)
-        print(f"[{label}] {steps} steps in {time.time() - t0:.1f}s",
-              flush=True)
-        ecfg = dataclasses.replace(cfg, n_coarse=128, n_fine=64)
-        m_ = eval_render(ecfg, state.params, data)
-        results[label] = m_
-        print(f"[{label}] eval128/64: " + "  ".join(
-            f"{k}={v:.5f}" for k, v in m_.items()), flush=True)
+        run_arm(label, cfg, data, steps, results)
 
     for k in sorted(next(iter(results.values()))):
         print(f"final {k}: " + "  ".join(

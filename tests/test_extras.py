@@ -493,11 +493,15 @@ def test_fidelity_cli(tmp_path):
                         "--uid", "u1", "--out", str(out)])
     assert rc == 0
     report = json.loads(out.read_text())
-    assert report["stage1_char"]["aggregate"]["psnr"] > 50   # identical
+    assert report["stage1_char"]["aggregate"]["psnr"] == "inf"  # identical
     assert report["stage2a_mv_color"]["aggregate"]["psnr"] < 30
     # full-contract coverage: mesh + gif sections present and exact-match
     mesh = report["stage2b_mesh"]["files"]["u1.obj"]
     assert mesh["chamfer"] < 1e-6 and mesh["color_mse"] == 0.0
     gif = report["gif"]["files"]["walk.gif"]
     assert gif["n_frames"] == [2, 2]
-    assert gif["aggregate"]["psnr"] > 50
+    # exact match serializes as the string "inf" (bare Infinity is not RFC
+    # JSON); the report must parse under a strict parser
+    assert gif["aggregate"]["psnr"] == "inf"
+    json.loads(out.read_text(), parse_constant=lambda s: pytest.fail(
+        f"non-RFC JSON constant {s} in fidelity report"))

@@ -75,3 +75,24 @@ def test_generator_variant_parity(rng):
     yp = gp.apply(v, x)   # same param structure
     np.testing.assert_allclose(np.asarray(yp), np.asarray(yf),
                                atol=5e-5, rtol=5e-5)
+
+
+def test_nonfinite_input_keeps_hard_border_zeros(rng):
+    """shift2d (pad + slice) guarantees hard zeros at shifted-out borders
+    regardless of input; the kernel's where-based select must match even
+    when the activations carry NaN/Inf (ADVICE r2 — a multiply-based mask
+    would produce 0·Inf = NaN at the border)."""
+    n, h, w, c, o = 2, 8, 8, 6, 8
+    x = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    x[0, 0, 0, :] = np.nan
+    x[1, -1, -1, :] = np.inf
+    x = jnp.asarray(x)
+    wk = jnp.asarray(rng.standard_normal((9, c, o)) * 0.1, jnp.float32)
+    swf = jnp.asarray(ric_shifted_weights(h, w))
+    got = np.asarray(ric_conv(x, wk, swf))
+    want = np.asarray(_xla_fused(x, wk, swf))
+    # non-finite propagates identically: wherever shift2d yields a finite
+    # value (incl. its hard border zeros), the kernel must too
+    np.testing.assert_array_equal(np.isfinite(got), np.isfinite(want))
+    fin = np.isfinite(want)
+    np.testing.assert_allclose(got[fin], want[fin], atol=2e-5, rtol=2e-5)
