@@ -18,6 +18,20 @@ from PIL import Image
 # images
 # ---------------------------------------------------------------------------
 
+def read_image_u8(path: str) -> np.ndarray:
+    """Read PNG/JPG → uint8 (H, W, C) array (no [0,1] conversion — for
+    device-side feature assembly, where shipping u8 through the tunnel is
+    4× cheaper than f32)."""
+    arr = np.asarray(Image.open(path))
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.dtype != np.uint8:
+        arr = (np.asarray(arr, np.float32)
+               / (65535.0 if arr.dtype == np.uint16 else 1.0)
+               * 255.0 + 0.5).astype(np.uint8)
+    return arr
+
+
 def read_image(path: str, dtype=np.float32) -> np.ndarray:
     """Read PNG/JPG → float [0,1] (H,W,C) array; preserves alpha if present."""
     img = Image.open(path)
@@ -39,7 +53,10 @@ def write_image(path: str, arr: np.ndarray) -> None:
         a = np.clip(np.asarray(a, np.float32) * 255.0 + 0.5, 0, 255).astype(np.uint8)
     if a.ndim == 3 and a.shape[-1] == 1:
         a = a[..., 0]
-    Image.fromarray(a).save(path)
+    # compress_level=1: PNG is lossless at every level (identical pixels);
+    # the default level-6 deflate made PNG encode the dominant host cost of
+    # the stage-3 full-frame evals on this 1-core box (PERF_NOTES r3)
+    Image.fromarray(a).save(path, compress_level=1)
 
 
 def write_gif(path: str, frames: Sequence[np.ndarray], duration_ms: int = 30,

@@ -175,6 +175,34 @@ def list_frames(action_dir: str, pass_name: str = "color"):
     return sorted(f for f in os.listdir(d) if f.endswith(".png"))
 
 
+def load_full_frame_u8(action_dir: str, fname: str, use_edge: bool,
+                       pre_dir: str = "color") -> np.ndarray:
+    """u8 source stack (H, W, 7): rgba(4) | edge(1) | pos_xy(2).
+
+    Device-side assembly (train/gan.py::_full_frame_runner_u8) reproduces
+    ``load_full_frame``'s feature math EXACTLY from these (u8/255 → the
+    same f32 grid values), while the tunnel H2D moves 7 bytes/px instead
+    of 24 (f32×6ch) — the transfer dominated full-frame eval latency
+    (~330 ms of the 855 ms/frame, PERF_NOTES r3)."""
+    from drawingspinup_tpu.core.io import read_image_u8
+    rgba = read_image_u8(os.path.join(action_dir, pre_dir, fname))
+    h, w = rgba.shape[:2]
+    if rgba.shape[-1] == 3:
+        rgba = np.concatenate(
+            [rgba, np.full((h, w, 1), 255, np.uint8)], -1)
+    if use_edge:
+        edge = read_image_u8(
+            os.path.join(action_dir, "edge", fname))[..., :1]
+    else:
+        edge = np.full((h, w, 1), 255, np.uint8)   # 255 = "no edge here"
+    pos_path = os.path.join(action_dir, "pos", fname)
+    if os.path.exists(pos_path):
+        pos = read_image_u8(pos_path)[..., 0:2]
+    else:
+        pos = np.zeros((h, w, 2), np.uint8)
+    return np.concatenate([rgba, edge, pos], axis=-1)
+
+
 def load_full_frame(action_dir: str, fname: str, use_mask: bool,
                     use_pos: bool, use_edge: bool,
                     pre_dir: str = "color") -> Tuple[np.ndarray, np.ndarray]:

@@ -134,22 +134,29 @@ def post_path_for_stage(paths: UidPaths, stage: int) -> str:
     return paths.texture_with_bg
 
 
+_FRAME_CACHE_CAP = 512    # u8 frames (~1.8 MB each at 512²) — bounds host RAM
+
+
 def test_on_full_images(cfg: gan.GANConfig, state: gan.GANState,
                         render_root: str, actions: List[str], res_name: str,
                         use_mask: bool, use_pos: bool, use_edge: bool,
-                        pre_dir: str) -> List[str]:
+                        pre_dir: str,
+                        frame_cache: Optional[dict] = None) -> List[str]:
     """Run the generator over every frame of every action dir, writing RGBA
-    results (reference trainers.py:213-232)."""
+    results (reference trainers.py:213-232).
+
+    frame_cache: optional dict reused across the periodic evals of one
+    training run — the input features of every frame are identical at each
+    eval, and their PNG decode + feature assembly dominated eval wall time
+    on this 1-core host (~29 s/eval, PERF_NOTES r3)."""
     written = []
     # small pending queue: dispatch frame i+k before syncing frame i, so
     # device compute + tunnel D2H overlap host PNG decode/encode
     pending = []
 
     def flush_one():
-        out_path, mask, fut = pending.pop(0)
-        rgb = gan.finalize_full(fut)
-        rgba = np.concatenate([rgb, mask[..., None]], axis=-1)
-        write_image(out_path, rgba)
+        out_path, fut = pending.pop(0)
+        write_image(out_path, np.asarray(fut))   # u8 RGBA straight to PNG
         written.append(out_path)
 
     for action in actions:
@@ -162,11 +169,19 @@ def test_on_full_images(cfg: gan.GANConfig, state: gan.GANState,
         for fname in sorted(os.listdir(src)):
             if not fname.endswith(".png"):
                 continue
-            frame, mask = stage3_data.load_full_frame(
-                action_dir, fname, use_mask, use_pos, use_edge,
-                pre_dir=pre_dir)
-            pending.append((os.path.join(out_dir, fname), mask,
-                            gan.generate_full_async(cfg, state, frame)))
+            ck = (action, fname)
+            if frame_cache is not None and ck in frame_cache:
+                x_u8 = frame_cache[ck]
+            else:
+                x_u8 = stage3_data.load_full_frame_u8(
+                    action_dir, fname, use_edge, pre_dir=pre_dir)
+                if frame_cache is not None \
+                        and len(frame_cache) < _FRAME_CACHE_CAP:
+                    frame_cache[ck] = x_u8
+            pending.append((os.path.join(out_dir, fname),
+                            gan.generate_full_rgba_async(
+                                cfg, state, x_u8, use_mask, use_pos,
+                                use_edge)))
             if len(pending) >= 3:
                 flush_one()
     while pending:
@@ -215,6 +230,7 @@ def train_stage(root: str, uid: str, stage: int, use_mask: bool = True,
     key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
     t_eval = t_ckpt = 0.0
+    frame_cache: dict = {}   # eval inputs are identical across evals
     # NOTE: a lax.scan-chunked variant (25 steps/program) was measured e2e
     # and REVERTED — JAX's async dispatch already pipelines the tunnel, so
     # it bought nothing per-step and cost a 60-90 s scan compile per uid
@@ -235,14 +251,16 @@ def train_stage(root: str, uid: str, stage: int, use_mask: bool = True,
             gan.save_checkpoint(log_dir, state, b + 1)
             te = time.time()
             test_on_full_images(cfg, state, render_root, actions, res_name,
-                                use_mask, use_pos, s["use_edge"], pre_dir)
+                                use_mask, use_pos, s["use_edge"], pre_dir,
+                                frame_cache=frame_cache)
             t_ckpt += te - tc
             t_eval += time.time() - te
     tc = time.time()
     gan.save_checkpoint(log_dir, state, FINAL_STEP)
     te = time.time()
     test_on_full_images(cfg, state, render_root, actions, res_name,
-                        use_mask, use_pos, s["use_edge"], pre_dir)
+                        use_mask, use_pos, s["use_edge"], pre_dir,
+                        frame_cache=frame_cache)
     t_ckpt += te - tc
     t_eval += time.time() - te
     wall = time.time() - t0

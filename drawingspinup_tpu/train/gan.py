@@ -224,6 +224,50 @@ def _full_frame_runner(cfg: GANConfig):
     return _run
 
 
+@functools.lru_cache(maxsize=8)
+def _full_frame_runner_u8(cfg: GANConfig, use_mask: bool, use_pos: bool,
+                          use_edge: bool):
+    """Full-frame eval with u8 tunnel transfers: takes the (H, W, 7) uint8
+    source stack (stage3_data.load_full_frame_u8), assembles the features
+    IN-GRAPH (identical math to load_full_frame: u8/255 grid values, edge
+    test u8<255 ≡ f32<1.0), and returns the final u8 RGBA — H2D moves
+    7 B/px instead of 24, D2H 4 B/px instead of 12. On the tunneled v5e
+    the f32 transfers were 3.4× the 71.5 ms compute (PERF_NOTES r3)."""
+    gen, _, _ = build_models(cfg, ric_variant="pershift")
+
+    @jax.jit
+    def _run(params, stats, x_u8):
+        f = x_u8.astype(jnp.float32) / 255.0
+        rgb, alpha = f[..., 0:3], f[..., 3]
+        if use_edge:
+            em = x_u8[..., 4] < 255
+            rgb = jnp.where(em[..., None], 0.0, rgb)
+        feats = [rgb * 2.0 - 1.0]
+        if use_mask:
+            feats.append(alpha[..., None])     # PRE-overlay alpha == mask
+        if use_pos:
+            feats.append(f[..., 5:7] * 2.0 - 1.0)
+        x = jnp.concatenate(feats, axis=-1)
+        out = gen.apply({"params": params, "batch_stats": stats}, x[None],
+                        train=False)[0]
+        # same math as finalize_full + write_image's f32→u8 quantization
+        rgb8 = (jnp.clip((out + 1.0) * 0.5, 0.0, 1.0)
+                * 255.0 + 0.5).astype(jnp.uint8)
+        a8 = (alpha * 255.0 + 0.5).astype(jnp.uint8)
+        return jnp.concatenate([rgb8, a8[..., None]], axis=-1)
+
+    return _run
+
+
+def generate_full_rgba_async(cfg: GANConfig, state: GANState,
+                             x_u8: np.ndarray, use_mask: bool,
+                             use_pos: bool, use_edge: bool) -> jnp.ndarray:
+    """Dispatch a u8-in/u8-out full-frame stylization without syncing;
+    np.asarray(result) yields the writable (H, W, 4) uint8 RGBA."""
+    run = _full_frame_runner_u8(cfg, use_mask, use_pos, use_edge)
+    return run(state.g_params, state.g_stats, jnp.asarray(x_u8))
+
+
 def generate_full(cfg: GANConfig, state: GANState,
                   frame: np.ndarray) -> np.ndarray:
     """Run the generator on a full frame (eval mode, running BN stats).

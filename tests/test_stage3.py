@@ -211,6 +211,48 @@ class TestGANTraining:
                          state.g_params, restored.g_params))
         assert chex
 
+    def test_u8_full_frame_matches_f32_path(self, tmp_path):
+        """The u8-transfer eval path (device-side feature assembly +
+        quantized output) writes the same PNG pixels as the f32 path up
+        to rounding: XLA fuses the in-graph x/255*2-1 feature math
+        differently from the host numpy chain, so generator outputs can
+        differ by ulps and flip the final u8 quantization by ±1 LSB on a
+        few pixels. Alpha (a straight u8 round-trip) must be exact."""
+        action, post = make_synthetic_keyframe(tmp_path)
+        state = gan.init_state(TINY_GAN, jax.random.PRNGKey(0))
+        for use_edge in (False, True):
+            if use_edge:
+                # synthesize an edge pass (some pixels < 255)
+                edge = np.full((64, 64), 255, np.uint8)
+                edge[10:20, 10:50] = 0
+                from drawingspinup_tpu.core.io import write_image as _wi
+                os.makedirs(os.path.join(action, "edge"), exist_ok=True)
+                _wi(os.path.join(action, "edge", "0001.png"),
+                    edge.astype(np.float32) / 255.0)
+            frame, mask = stage3_data.load_full_frame(
+                action, "0001.png", use_mask=True, use_pos=True,
+                use_edge=use_edge)
+            rgb = gan.generate_full(TINY_GAN, state, frame)
+            want = np.concatenate(
+                [np.clip(rgb * 255.0 + 0.5, 0, 255).astype(np.uint8),
+                 np.clip(mask[..., None] * 255.0 + 0.5, 0,
+                         255).astype(np.uint8)], axis=-1)
+            x_u8 = stage3_data.load_full_frame_u8(action, "0001.png",
+                                                  use_edge)
+            got = np.asarray(gan.generate_full_rgba_async(
+                TINY_GAN, state, x_u8, True, True, use_edge))
+            assert got.dtype == np.uint8 and got.shape == want.shape
+            np.testing.assert_array_equal(
+                got[..., 3], want[..., 3],
+                err_msg=f"alpha mismatch (use_edge={use_edge})")
+            diff = np.abs(got[..., :3].astype(np.int16)
+                          - want[..., :3].astype(np.int16))
+            assert diff.max() <= 1, \
+                f"RGB diff > 1 LSB (use_edge={use_edge}): {diff.max()}"
+            frac = float((diff > 0).mean())
+            assert frac < 0.02, \
+                f"{frac:.1%} of RGB pixels differ (use_edge={use_edge})"
+
     def test_ric_variant_trains(self, tmp_path):
         cfg = dataclasses.replace(TINY_GAN, generator="GeneratorJ_RIC")
         action, post = make_synthetic_keyframe(tmp_path)
