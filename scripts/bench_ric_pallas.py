@@ -38,8 +38,12 @@ def make_data(size=512):
 
 def main():
     data = make_data()
-    cfg_x = gan.GANConfig()                            # ric_variant="fused"
-    cfg_p = dataclasses.replace(cfg_x, ric_variant="pallas")
+    # Pin BOTH variants explicitly: the GANConfig default flipped to
+    # "pallas" at adoption, which silently turned `GANConfig()` into a
+    # pallas-vs-pallas self-comparison (caught 2026-08-19 when the arms
+    # came back bit-identical, max fwd diff 0.00e+00).
+    cfg_x = dataclasses.replace(gan.GANConfig(), ric_variant="fused")
+    cfg_p = dataclasses.replace(gan.GANConfig(), ric_variant="pallas")
 
     state = gan.init_state(cfg_x, jax.random.PRNGKey(0))
     gen_x, _, _ = gan.build_models(cfg_x)
@@ -58,13 +62,19 @@ def main():
         return gen_p.apply({"params": p, "batch_stats": state.g_stats}, pre,
                            train=True, mutable=["batch_stats"])[0]
 
+    # The step arms must RETURN the updated state: an outer jit that only
+    # returned g_loss (computed before the parameter update) let XLA
+    # dead-code-eliminate the backward pass + optimizer, so the "full step"
+    # numbers it printed were forward-weighted (found 2026-08-19; the
+    # production-loop A/B in bench_stage3.py was unaffected — its
+    # gan.train_step jit outputs the whole state).
     @jax.jit
     def step_x(s, k):
-        return gan.train_step(cfg_x, s, data, k)[1]["g_loss"]
+        return gan.train_step(cfg_x, s, data, k)
 
     @jax.jit
     def step_p(s, k):
-        return gan.train_step(cfg_p, s, data, k)[1]["g_loss"]
+        return gan.train_step(cfg_p, s, data, k)
 
     def sync(o):
         return np.asarray(o).ravel()[0]
@@ -86,8 +96,8 @@ def main():
     arms = {
         "xla_fwd": lambda k: fwd_x(state.g_params, batch["pre"]),
         "pallas_fwd": lambda k: fwd_p(state.g_params, batch["pre"]),
-        "xla_step": lambda k: step_x(state, k),
-        "pallas_step": lambda k: step_p(state, k),
+        "xla_step": lambda k: step_x(state, k)[1]["g_loss"],
+        "pallas_step": lambda k: step_p(state, k)[1]["g_loss"],
     }
     for name, fn in arms.items():
         t0 = time.time()

@@ -121,23 +121,32 @@ def main():
         "full": arm_full,
     }
 
+    def sync(o):
+        return np.asarray(o).ravel()[0]
+
     # compile/warm
     for name, fn in arms.items():
         t0 = time.time()
-        jax.block_until_ready(fn(key))
+        sync(fn(key))
         print(f"warm {name}: {time.time() - t0:.1f}s", flush=True)
 
-    laps = 12
+    # chained iterations per timing with a real D2H sync at the end —
+    # block_until_ready does not fence device completion over the axon
+    # tunnel (PERF_NOTES.md), and single dispatches carry 10-30 ms of
+    # tunnel latency.
+    laps, inner = 10, 8
     times = {n: [] for n in arms}
     for lap in range(laps):
         for name, fn in arms.items():
             key, k = jax.random.split(key)
             t0 = time.time()
-            jax.block_until_ready(fn(k))
-            times[name].append(time.time() - t0)
+            for _ in range(inner):
+                out = fn(k)
+            sync(out)
+            times[name].append((time.time() - t0) / inner)
     print("\narm medians (ms):")
     for name, ts in times.items():
-        ts = sorted(ts)[2:-2]
+        ts = sorted(ts)[1:-1]
         print(f"  {name:10s} {1e3 * float(np.median(ts)):7.2f}")
 
 
