@@ -28,6 +28,10 @@ def main(argv=None) -> int:
     ap.add_argument("--ckpt", default=None,
                     help="local diffusers-layout Wonder3D checkpoint dir")
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--guidance", type=float, default=None,
+                    help="classifier-free guidance scale (default from "
+                         "config pipe_validation_kwargs.guidance_scale; "
+                         "!= 1.0 doubles the UNet batch per step)")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--out-size", type=int, default=None)
@@ -70,11 +74,12 @@ def main(argv=None) -> int:
                                        cross_attention_dim=32)
         unet_kw["vae"] = VAEConfig(block_out_channels=(8, 8, 8, 8),
                                    layers_per_block=1)
+    guidance = args.guidance if args.guidance is not None \
+        else float(pvk.get("guidance_scale", 1.0))
     cfg = mv.MVPipelineConfig(num_inference_steps=args.steps,
                               image_size=args.size, out_size=args.out_size,
                               eta=float(pvk.get("eta", 1.0)),
-                              guidance_scale=float(
-                                  pvk.get("guidance_scale", 1.0)),
+                              guidance_scale=guidance,
                               **unet_kw)
     # cache the pipeline across main() calls: a sweep invokes this CLI
     # per uid in one process, and re-initializing the SD-scale models
@@ -84,7 +89,7 @@ def main(argv=None) -> int:
     ckpt_mtime = os.path.getmtime(args.ckpt) \
         if args.ckpt and os.path.exists(args.ckpt) else None
     cache_key = (args.ckpt, ckpt_mtime, args.steps, args.size, args.out_size,
-                 args.tiny)
+                 args.tiny, guidance)
     if _PIPE_CACHE.get("key") == cache_key:
         pipe = _PIPE_CACHE["pipe"]
     elif args.ckpt:

@@ -106,7 +106,9 @@ class GEGLUFeedForward(nn.Module):
         c = x.shape[-1]
         h = nn.Dense(c * self.mult * 2, name="proj_in")(x)
         a, gate = jnp.split(h, 2, axis=-1)
-        h = a * jax.nn.gelu(gate)
+        # torch F.gelu is the exact (erf) form — approximate=True drifts ~1e-3
+        # and fails the executed UNet forward oracle
+        h = a * jax.nn.gelu(gate, approximate=False)
         return nn.Dense(c, name="proj_out")(h)
 
 
@@ -125,20 +127,20 @@ class BasicMVTransformerBlock(nn.Module):
         fold = None
         if self.multiview_attention:
             fold = "views_sparse" if self.sparse_mv_attention else "views"
-        h = nn.LayerNorm(name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + Attention(self.heads, name="attn1")(
             h, kv_fold=fold, num_views=self.num_views)
         if self.cd_attention_mid:
-            h = nn.LayerNorm(name="norm_joint_mid")(x)
+            h = nn.LayerNorm(epsilon=1e-5, name="norm_joint_mid")(x)
             x = x + Attention(self.heads, zero_out=True,
                               name="attn_joint_mid")(h, kv_fold="domains")
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         x = x + Attention(self.heads, cross_dim=self.cross_dim,
                           name="attn2")(h, context=context)
-        h = nn.LayerNorm(name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         x = x + GEGLUFeedForward(name="ff")(h)
         if self.cd_attention_last:
-            h = nn.LayerNorm(name="norm_joint_last")(x)
+            h = nn.LayerNorm(epsilon=1e-5, name="norm_joint_last")(x)
             x = x + Attention(self.heads, zero_out=True,
                               name="attn_joint_last")(h, kv_fold="domains")
         return x

@@ -47,7 +47,7 @@ class CLIPLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        h = nn.LayerNorm(name="layer_norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="layer_norm1")(x)
         b, s, d = h.shape
         hd = d // c.num_heads
         q = nn.Dense(d, name="q_proj")(h).reshape(b, s, c.num_heads, hd)
@@ -55,7 +55,7 @@ class CLIPLayer(nn.Module):
         v = nn.Dense(d, name="v_proj")(h).reshape(b, s, c.num_heads, hd)
         att = jax.nn.dot_product_attention(q, k, v).reshape(b, s, d)
         x = x + nn.Dense(d, name="out_proj")(att)
-        h = nn.LayerNorm(name="layer_norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="layer_norm2")(x)
         h = nn.Dense(d * c.mlp_ratio, name="fc1")(h)
         h = h * jax.nn.sigmoid(1.702 * h)  # quick_gelu
         return x + nn.Dense(d, name="fc2")(h)
@@ -82,9 +82,9 @@ class CLIPVisionModelWithProjection(nn.Module):
         pos = self.param("position_embedding", nn.initializers.normal(0.02),
                          (n_patches + 1, c.hidden_size))
         x = x + pos[None]
-        x = nn.LayerNorm(name="pre_layrnorm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="pre_layrnorm")(x)
         for i in range(c.num_layers):
             x = CLIPLayer(c, name=f"layer{i}")(x)
-        pooled = nn.LayerNorm(name="post_layernorm")(x[:, 0])
+        pooled = nn.LayerNorm(epsilon=1e-5, name="post_layernorm")(x[:, 0])
         return nn.Dense(c.projection_dim, use_bias=False,
                         name="visual_projection")(pooled)

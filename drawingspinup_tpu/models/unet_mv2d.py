@@ -36,9 +36,17 @@ class UNetMVConfig:
     projection_class_embeddings_input_dim: int = 10
     num_views: int = 6
     sparse_mv_attention: bool = False
-    cd_attention_mid: bool = False
+    # cd_attention_mid/last place joint (cross-domain) attention in EVERY
+    # transformer block, exactly as the reference wires them through
+    # get_down_block/get_up_block/mid (unet_mv2d_condition.py:482-605 →
+    # transformer_mv2d.py:509-527). The Wonder3D-joint checkpoint trains
+    # with the mid placement — our production default.
+    cd_attention_mid: bool = True
     cd_attention_last: bool = False
-    mvcd_attention: bool = True  # joint attention folded into the mid block
+    # Accepted-unused, like the reference: its processors take an
+    # mvcd_attention kwarg and never read it (transformer_mv2d.py:737 — the
+    # fork dropped the upstream domain-folded MV-attention branch).
+    mvcd_attention: bool = False
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int,
@@ -100,13 +108,12 @@ class Upsample(nn.Module):
 class UNetMV2D(nn.Module):
     cfg: UNetMVConfig = UNetMVConfig()
 
-    def _transformer(self, ch: int, name: str,
-                     mid: bool = False) -> TransformerMV2D:
+    def _transformer(self, ch: int, name: str) -> TransformerMV2D:
         c = self.cfg
         return TransformerMV2D(
             heads=c.attention_heads, cross_dim=c.cross_attention_dim,
             num_views=c.num_views, sparse_mv_attention=c.sparse_mv_attention,
-            cd_attention_mid=(c.cd_attention_mid or (mid and c.mvcd_attention)),
+            cd_attention_mid=c.cd_attention_mid,
             cd_attention_last=c.cd_attention_last, name=name)
 
     @nn.compact
@@ -154,8 +161,7 @@ class UNetMV2D(nn.Module):
 
         ch = c.block_out_channels[-1]
         h = ResnetBlock2D(ch, name="mid_res0")(h, temb)
-        h = self._transformer(ch, "mid_attn", mid=True)(
-            h, encoder_hidden_states)
+        h = self._transformer(ch, "mid_attn")(h, encoder_hidden_states)
         h = ResnetBlock2D(ch, name="mid_res1")(h, temb)
 
         for bi, ch in enumerate(reversed(c.block_out_channels)):

@@ -213,6 +213,83 @@ class MVPipeline:
         return embeds[:, None, :], latents
 
     # -- sampling -----------------------------------------------------------
+    def _sample_fns(self):
+        """Build (and cache) the jitted denoise loop + decoder for the
+        current schedule knobs (steps/eta/dtype/guidance).
+
+        Classifier-free guidance (reference pipeline_mvdiffusion_image.py:
+        413 ``do_classifier_free_guidance = guidance_scale != 1.0``,
+        :327-339 uncond conditioning, :460-476 duplicated batch + guided
+        combine): the conditioning tensors arrive ALREADY doubled —
+        [uncond | cond] along batch, uncond = zeroed CLIP embedding and
+        zeroed image latents, camera embedding repeated — and each step runs
+        the UNet once on the doubled batch. Note the reference's view/domain
+        attention folds then operate on the doubled batch as-is: the joint
+        processor's chunk(2) pairs the uncond/cond halves (not the
+        normal/color halves) when guidance is active — we reproduce that
+        computation exactly (same fold arithmetic on the same layout).
+
+        guidance == 1.0 keeps the single-batch loop — bit-identical to the
+        pre-CFG path (regression-pinned in test_stage2a.py)."""
+        cfg = self.cfg
+        guidance = float(cfg.guidance_scale)
+        cache_key = (cfg.num_inference_steps, cfg.eta, cfg.compute_dtype,
+                     guidance)
+        if getattr(self, "_sample_key", None) == cache_key:
+            return self._sample_jit, self._decode_jit
+        self._sample_key = cache_key
+
+        ts = jnp.asarray(D.timesteps_for(cfg.ddim, cfg.num_inference_steps))
+        ts_prev = jnp.concatenate([ts[1:], jnp.asarray([-1], ts.dtype)])
+        unet = self.unet
+        acp = self.acp
+        eta = cfg.eta
+        cdt = jnp.dtype(cfg.compute_dtype)
+        do_cfg = guidance != 1.0
+
+        # Params and conditioning MUST be jit ARGUMENTS, not closures: a
+        # closed-over device array is lowered as an MLIR constant, which
+        # fetches its VALUE host-side — for an SD-scale param tree that is
+        # a ~GB D2H pull through the axon tunnel per compile (observed as a
+        # multi-hour "hang" in cli/mv.py at production size). The jitted
+        # fns are cached on the instance so repeat calls skip re-lowering
+        # (ts/acp are tiny cfg-derived constants — safe to close over).
+        # Cache keyed on the schedule knobs the closure bakes in, so a
+        # per-call steps/eta/guidance override can't silently reuse a stale
+        # closure (ADVICE r1).
+        @jax.jit
+        def sample_loop(params, cond_c, embeds_c, cam_c, latents, key):
+            def body(i, carry):
+                lat, key = carry
+                key, kn = jax.random.split(key)
+                t = ts[i]
+                lat_in = lat.astype(cdt)
+                if do_cfg:
+                    lat_in = jnp.concatenate([lat_in, lat_in], axis=0)
+                inp = jnp.concatenate([lat_in, cond_c], axis=-1)
+                eps = unet.apply({"params": params}, inp,
+                                 t, embeds_c, cam_c).astype(jnp.float32)
+                if do_cfg:
+                    eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
+                    eps = eps_uncond + guidance * (eps_cond - eps_uncond)
+                noise = jax.random.normal(kn, lat.shape)
+                lat = D.ddim_step(cfg.ddim, acp, eps, t, ts_prev[i], lat,
+                                  eta=eta, noise=noise)
+                return (lat, key)
+
+            latents, _ = jax.lax.fori_loop(0, len(ts), body, (latents, key))
+            return latents
+
+        @jax.jit
+        def decode(vae_params, z):
+            img = self.vae.apply({"params": vae_params}, z,
+                                 method=AutoencoderKL.decode)
+            return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+        self._sample_jit = sample_loop
+        self._decode_jit = decode
+        return sample_loop, decode
+
     def __call__(self, image: np.ndarray, views: Optional[List[str]] = None,
                  seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
         """Run generation → (normals (Nv,H,W,3), colors (Nv,H,W,3)) in [0,1]."""
@@ -225,18 +302,11 @@ class MVPipeline:
         cond_latents = jnp.tile(cond_latents, (nv2, 1, 1, 1))
         cam = jnp.asarray(sincos(camera_task_embeddings(views)))
 
-        ts = jnp.asarray(D.timesteps_for(cfg.ddim, cfg.num_inference_steps))
-        ts_prev = jnp.concatenate(
-            [ts[1:], jnp.asarray([-1], ts.dtype)])
-
         key = jax.random.PRNGKey(seed)
         key, k0 = jax.random.split(key)
         h = cond_latents.shape[1]
         latents = jax.random.normal(k0, (nv2, h, h, 4))
 
-        unet = self.unet
-        acp = self.acp
-        eta = cfg.eta
         cdt = jnp.dtype(cfg.compute_dtype)
         # bf16 mixed precision: UNet params + activations in compute_dtype,
         # latents and DDIM update in f32
@@ -245,46 +315,16 @@ class MVPipeline:
         embeds_c = embeds.astype(cdt)
         cam_c = cam.astype(cdt)
         cond_c = cond_latents.astype(cdt)
+        if float(cfg.guidance_scale) != 1.0:
+            # uncond half: zeroed CLIP embedding + zeroed image latents,
+            # same camera rows (reference :166-171, :182-183, :291-295)
+            embeds_c = jnp.concatenate(
+                [jnp.zeros_like(embeds_c), embeds_c], axis=0)
+            cond_c = jnp.concatenate(
+                [jnp.zeros_like(cond_c), cond_c], axis=0)
+            cam_c = jnp.concatenate([cam_c, cam_c], axis=0)
 
-        # Params and conditioning MUST be jit ARGUMENTS, not closures: a
-        # closed-over device array is lowered as an MLIR constant, which
-        # fetches its VALUE host-side — for an SD-scale param tree that is
-        # a ~GB D2H pull through the axon tunnel per compile (observed as a
-        # multi-hour "hang" in cli/mv.py at production size). The jitted
-        # fns are cached on the instance so repeat calls skip re-lowering
-        # (ts/acp are tiny cfg-derived constants — safe to close over).
-        # Cache keyed on the schedule knobs the closure bakes in, so a
-        # future per-call steps/eta override can't silently reuse a stale
-        # closure (ADVICE r1).
-        cache_key = (cfg.num_inference_steps, cfg.eta, cfg.compute_dtype)
-        if getattr(self, "_sample_key", None) != cache_key:
-            self._sample_key = cache_key
-            @jax.jit
-            def sample_loop(params, cond_c, embeds_c, cam_c, latents, key):
-                def body(i, carry):
-                    lat, key = carry
-                    key, kn = jax.random.split(key)
-                    t = ts[i]
-                    inp = jnp.concatenate([lat.astype(cdt), cond_c], axis=-1)
-                    eps = unet.apply({"params": params}, inp,
-                                     t, embeds_c, cam_c).astype(jnp.float32)
-                    noise = jax.random.normal(kn, lat.shape)
-                    lat = D.ddim_step(cfg.ddim, acp, eps, t, ts_prev[i], lat,
-                                      eta=eta, noise=noise)
-                    return (lat, key)
-
-                latents, _ = jax.lax.fori_loop(0, len(ts), body,
-                                               (latents, key))
-                return latents
-
-            @jax.jit
-            def decode(vae_params, z):
-                img = self.vae.apply({"params": vae_params}, z,
-                                     method=AutoencoderKL.decode)
-                return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
-
-            self._sample_jit = sample_loop
-            self._decode_jit = decode
+        sample_loop, decode = self._sample_fns()
 
         # multi-chip: shard the (2·nv)-view batch over a dp mesh (the
         # natural data-parallel axis of mv.py's 12-image batch); params
@@ -300,9 +340,8 @@ class MVPipeline:
             cond_c = jax.device_put(cond_c, batch_s)
             embeds_c = jax.device_put(embeds_c, batch_s)
             cam_c = jax.device_put(cam_c, batch_s)
-        latents = self._sample_jit(params, cond_c, embeds_c, cam_c,
-                                   latents, key)
-        images = np.asarray(self._decode_jit(self.params["vae"], latents))
+        latents = sample_loop(params, cond_c, embeds_c, cam_c, latents, key)
+        images = np.asarray(decode(self.params["vae"], latents))
         return images[:nv], images[nv:]
 
 
