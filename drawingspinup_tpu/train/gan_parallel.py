@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from drawingspinup_tpu.pipelines.stage3_data import KeyframeData, sample_patches
 from drawingspinup_tpu.train import gan

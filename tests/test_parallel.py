@@ -1,0 +1,278 @@
+"""Multi-device ≡ single-device equivalence for the production parallel
+paths (VERDICT r3 item #3).
+
+Until now the dp steps were covered only by loss-decrease assertions in the
+dryrun; pmean/batch-stat/RNG-folding math can be subtly wrong while loss
+still decreases. Here each production dp step (8 virtual CPU devices, the
+conftest mesh) is pinned against the SAME math computed on one device: the
+per-shard computation with the per-device fold of the step key, explicit
+means over shards replacing ``lax.pmean``, and ONE replicated optimizer
+update. These mirrors restate the contract of
+``train/nsr_parallel.py::make_train_step_dp.device_loss`` and
+``train/gan_parallel.py::make_train_step_dp.device_step`` — a drift in
+either (key split order, a pmean moved across the optimizer, double
+update application, missing batch-stat reduction) becomes a params
+mismatch.
+
+Documented semantics, not a bug: with ``penalize_ratio < 1`` the ranked
+losses rank per ray-SHARD under dp, not globally — dp training follows a
+(slightly) different trajectory than single-device global ranking. The
+reference is single-GPU; per-shard ranking is this rebuild's scaling
+design. What must never drift — and is pinned here — is the shard math
+itself.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from drawingspinup_tpu.parallel.mesh import make_mesh
+from drawingspinup_tpu.train import gan, gan_parallel, nsr, nsr_parallel
+
+from tests.test_nsr import TINY_NSR, make_sphere_dataset
+from tests.test_stage3 import TINY_GAN, make_synthetic_keyframe
+
+
+def tree_allclose(a, b, rtol=1e-4, atol=1e-5, what="", grads=None,
+                  grad_floor=1e-6, update_cap=None):
+    """Assert updated-param trees match. Adam caveat: the update is
+    ~sign(g)·lr, so components whose TRUE gradient sits at reassociation-
+    noise scale (≲1e-6 here, measured 1e-8..1e-9 on the flagged leaves) get
+    a numerically arbitrary sign in BOTH arms — for those, only require the
+    step stayed bounded by ``update_cap`` (a few lr). Everything with a real
+    gradient must match tightly."""
+    flat_a = jax.tree_util.tree_leaves_with_path(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    flat_g = (jax.tree_util.tree_leaves(grads) if grads is not None
+              else [None] * len(flat_b))
+    worst = 0.0
+    worst_path = None
+    for (path, la), lb, lg in zip(flat_a, flat_b, flat_g):
+        la, lb = np.asarray(la, np.float64), np.asarray(lb, np.float64)
+        err = np.abs(la - lb) - (atol + rtol * np.abs(lb))
+        if lg is not None:
+            noise = np.abs(np.asarray(lg, np.float64)) <= grad_floor
+            assert update_cap is not None
+            # sign-arbitrary region: step bounded, not matched
+            err = np.where(noise, np.abs(la - lb) - update_cap, err)
+        m = float(err.max()) if err.size else 0.0
+        if m > worst:
+            worst, worst_path = m, path
+    assert worst <= 0.0, f"{what}: worst leaf {worst_path} exceeds tol by {worst}"
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the conftest 8-virtual-device CPU mesh")
+    return make_mesh(8, dp=8)
+
+
+class TestNSRParallelEquivalence:
+    def test_dp_step_matches_manual_shard_average(self, mesh8):
+        cfg = TINY_NSR
+        ndp = 8
+        assert cfg.train_num_rays % ndp == 0
+        rays_per_device = cfg.train_num_rays // ndp
+        tx = nsr.make_optimizer(cfg)
+        state = nsr.init_state(cfg, jax.random.PRNGKey(0))
+        data = make_sphere_dataset()
+        key = jax.random.PRNGKey(42)
+
+        step_dp = nsr_parallel.production_train_step(cfg, tx, mesh=mesh8)
+        state_dp, logs_dp = step_dp(state, data, key)
+
+        # single-device mirror of device_loss (nsr_parallel.py:42-52) with
+        # the same key fold (split(key, ndp), then split(keys[d]) inside)
+        keys = jax.random.split(key, ndp)
+
+        def device_loss(params, dkey):
+            k_pix, k_render = jax.random.split(dkey)
+            rays_o, rays_d, targets = nsr.sample_pixel_rays(
+                k_pix, data, rays_per_device)
+            t_range = targets.pop("t_range", None)
+            out = nsr.render_rays(cfg, params, rays_o, rays_d, k_render,
+                                  state.step, train=True, t_range=t_range)
+            out["rays_d"] = rays_d
+            return nsr.compute_losses(cfg, out, targets)
+
+        grads_acc, logs_acc = None, None
+        for d in range(ndp):
+            (_, logs), grads = jax.value_and_grad(
+                device_loss, has_aux=True)(state.params, keys[d])
+            grads_acc = grads if grads_acc is None else jax.tree_util.tree_map(
+                jnp.add, grads_acc, grads)
+            logs_acc = logs if logs_acc is None else jax.tree_util.tree_map(
+                jnp.add, logs_acc, logs)
+        grads = jax.tree_util.tree_map(lambda g: g / ndp, grads_acc)
+        logs = jax.tree_util.tree_map(lambda v: v / ndp, logs_acc)
+        updates, _ = tx.update(grads, state.opt_state, state.params)
+        params_exp = optax.apply_updates(state.params, updates)
+
+        tree_allclose(state_dp.params, params_exp, what="nsr dp params",
+                      grads=grads, update_cap=3 * max(
+                          cfg.lr_geometry, cfg.lr_texture,
+                          cfg.lr_variance))
+        for k in logs:
+            np.testing.assert_allclose(float(logs_dp[k]), float(logs[k]),
+                                       rtol=1e-4, atol=1e-6, err_msg=k)
+        assert int(state_dp.step) == int(state.step) + 1
+
+
+class TestGANParallelEquivalence:
+    def test_dp_step_matches_manual_shard_average(self, mesh8, tmp_path):
+        from drawingspinup_tpu.pipelines.stage3_data import (
+            load_keyframe_pair, sample_patches,
+        )
+
+        cfg = TINY_GAN
+        ndp = 8
+        assert cfg.batch_size % ndp == 0
+        per_dev = cfg.batch_size // ndp
+        action, post = make_synthetic_keyframe(tmp_path)
+        data = load_keyframe_pair(action, "color", post)
+        state = gan.init_state(cfg, jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(7)
+
+        step_dp = gan_parallel.production_train_step(cfg, mesh=mesh8)
+        state_dp, logs_dp = step_dp(state, data, key)
+
+        # single-device mirror of device_step (gan_parallel.py:44-104):
+        # per-shard batches with keys[d]; D grads averaged THEN one update;
+        # G tail against the updated D; G grads + batch stats averaged,
+        # one update.
+        gen, disc, vgg = gan.build_models(cfg)
+        g_tx, d_tx = gan.make_optimizers(cfg)
+        keys = jax.random.split(key, ndp)
+        batches, fakes, vjps, stats = [], [], [], []
+        for d in range(ndp):
+            batch = sample_patches(data, keys[d], per_dev, cfg.patch_size)
+
+            def g_fwd(g_params, batch=batch):
+                out, mut = gen.apply({"params": g_params,
+                                      "batch_stats": state.g_stats},
+                                     batch["pre"], train=True,
+                                     mutable=["batch_stats"])
+                return out, mut["batch_stats"]
+
+            fake, g_vjp, g_stats = jax.vjp(g_fwd, state.g_params,
+                                           has_aux=True)
+            batches.append(batch)
+            fakes.append(fake)
+            vjps.append(g_vjp)
+            stats.append(g_stats)
+
+        def mean_trees(trees):
+            acc = trees[0]
+            for t in trees[1:]:
+                acc = jax.tree_util.tree_map(jnp.add, acc, t)
+            return jax.tree_util.tree_map(lambda v: v / len(trees), acc)
+
+        d_grads_all = []
+        for d in range(ndp):
+            def d_loss_fn(d_params, d=d):
+                fl, _ = disc.apply({"params": d_params},
+                                   fakes[d] * batches[d]["pre_mask"])
+                tl, _ = disc.apply({"params": d_params},
+                                   batches[d]["already"]
+                                   * batches[d]["already_mask"])
+                return jnp.mean(fl ** 2) + jnp.mean((tl - 1.0) ** 2)
+
+            d_grads_all.append(jax.grad(d_loss_fn)(state.d_params))
+        d_grads = mean_trees(d_grads_all)
+        d_updates, _ = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        g_grads_all = []
+        for d in range(ndp):
+            def g_tail(out, d=d):
+                image_loss = jnp.mean(jnp.abs(out - batches[d]["post"]))
+                f_fake = vgg.apply({"params": state.vgg_params}, out,
+                                   as_list=True)
+                f_real = vgg.apply({"params": state.vgg_params},
+                                   batches[d]["post"], as_list=True)
+                sq = sum(jnp.sum((a - b) ** 2)
+                         for a, b in zip(f_fake, f_real))
+                numel = sum(np.prod(a.shape) for a in f_fake)
+                fl, _ = disc.apply({"params": d_params},
+                                   out * batches[d]["pre_mask"])
+                adv = jnp.mean((fl - 1.0) ** 2)
+                return (cfg.reconstruction_weight * image_loss
+                        + cfg.perception_weight * sq / numel
+                        + cfg.adversarial_weight * adv)
+
+            out_grad = jax.grad(g_tail)(fakes[d])
+            (g_grads_d,) = vjps[d](out_grad)
+            g_grads_all.append(g_grads_d)
+        g_grads = mean_trees(g_grads_all)
+        g_stats = mean_trees(stats)
+        g_updates, _ = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        cap = 3 * cfg.lr
+        tree_allclose(state_dp.g_params, g_params, what="gan dp g_params",
+                      grads=g_grads, update_cap=cap)
+        tree_allclose(state_dp.d_params, d_params, what="gan dp d_params",
+                      grads=d_grads, update_cap=cap)
+        tree_allclose(state_dp.g_stats, g_stats, what="gan dp batch stats")
+        assert int(state_dp.step) == int(state.step) + 1
+
+
+class TestMVBatchDPEquivalence:
+    def test_sample_loop_dp_close_to_single_device(self, monkeypatch):
+        """One denoise step of the MV batch-dp path vs the same program
+        forced single-device: GSPMD partitioning may reassociate conv/
+        attention reductions, so the pin is tight-numerical (1e-3 after one
+        UNet forward + DDIM step), not bitwise."""
+        from drawingspinup_tpu.models.unet_mv2d import UNetMVConfig
+        from drawingspinup_tpu.pipelines import stage2_mv as mv
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+
+        cfg = mv.MVPipelineConfig(
+            unet=UNetMVConfig(block_out_channels=(32, 64),
+                              layers_per_block=1, attention_heads=4,
+                              cross_attention_dim=16, num_views=2),
+            num_views=2, num_inference_steps=1, eta=0.0,
+            compute_dtype="float32")
+        rng = np.random.RandomState(0)
+        nv2 = 4
+        latents0 = rng.randn(nv2, 8, 8, 4).astype(np.float32)
+        cond = rng.randn(nv2, 8, 8, 4).astype(np.float32)
+        embeds = rng.randn(nv2, 1, 16).astype(np.float32)
+        cam = rng.randn(nv2, 10).astype(np.float32)
+
+        from drawingspinup_tpu.models.unet_mv2d import UNetMV2D
+        unet = UNetMV2D(cfg.unet)
+        params = unet.init(
+            jax.random.PRNGKey(1),
+            jnp.concatenate([jnp.asarray(latents0), jnp.asarray(cond)], -1),
+            jnp.asarray(0, jnp.int32), jnp.asarray(embeds),
+            jnp.asarray(cam))["params"]
+
+        outs = {}
+        for arm in ("dp", "single"):
+            pipe = mv.MVPipeline(cfg, {"unet": params})
+            loop, _ = pipe._sample_fns()
+            args = [jnp.asarray(cond), jnp.asarray(embeds), jnp.asarray(cam),
+                    jnp.asarray(latents0), jax.random.PRNGKey(0)]
+            if arm == "dp":
+                shardings = mv._mv_batch_sharding(nv2)
+                assert shardings is not None
+                batch_s, repl_s = shardings
+                p = jax.device_put(params, repl_s)
+                args = ([jax.device_put(a, batch_s) for a in args[:4]]
+                        + [args[4]])
+                outs[arm] = np.asarray(loop(p, *args))
+            else:
+                dev = jax.devices()[0]
+                p = jax.device_put(params, dev)
+                args = [jax.device_put(a, dev) for a in args[:4]] + [args[4]]
+                outs[arm] = np.asarray(loop(p, *args))
+        scale = np.abs(outs["single"]).max()
+        assert np.abs(outs["dp"] - outs["single"]).max() <= 1e-3 * max(
+            scale, 1.0)
