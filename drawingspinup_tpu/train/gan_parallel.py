@@ -104,7 +104,7 @@ def make_train_step_dp(cfg: gan.GANConfig, mesh: Mesh):
         return new_state, logs
 
     @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P("dp")),
-             out_specs=(P(), P()), check_rep=False)
+             out_specs=(P(), P()), check_vma=False)
     def sharded(state, data, keys):
         return device_step(state, data, keys[0])
 

@@ -54,7 +54,7 @@ def make_train_step_dp(cfg: nsr.NSRConfig, tx, mesh: Mesh,
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P("dp"), P()),
              out_specs=(P(), P()),
-             check_rep=False)
+             check_vma=False)
     def grads_fn(params, data, keys, step):
         (loss, logs), grads = jax.value_and_grad(
             device_loss, has_aux=True)(params, data, keys, step)
