@@ -41,6 +41,39 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# Measured bf16 matmul peak on this chip with proper D2H sync: ~127 TFLOP/s
+# (8192³ chain, PERF_NOTES.md:14 — ≈64% of v5e nominal). The MFU column
+# divides achieved FLOP/s by THIS measured number so "gather speed-of-light"
+# style claims are auditable (VERDICT r3 next #7).
+MEASURED_BF16_PEAK_FLOPS = 127e12
+
+
+def xla_flops(jitted, *args, **kwargs):
+    """FLOPs of the compiled executable per XLA cost analysis, or None when
+    the backend doesn't expose it. Uses the jitted callable's own lower()
+    so the persistent compile cache supplies the (already-built) program."""
+    try:
+        compiled = jitted.lower(*args, **kwargs).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception as e:                                 # noqa: BLE001
+        log(f"[bench] cost_analysis unavailable: {e!r}")
+        return None
+
+
+def mfu(flops, seconds):
+    """(achieved TFLOP/s, % of measured bf16 peak) or None."""
+    if not flops or not seconds:
+        return None
+    tps = flops / seconds
+    return {"tflops_per_s": round(tps / 1e12, 2),
+            "pct_of_measured_peak": round(100.0 * tps
+                                          / MEASURED_BF16_PEAK_FLOPS, 1)}
+
+
 def bench_ffc() -> float:
     """Stage-1 FFC-ResNet 512² bf16 forward, imgs/sec."""
     import jax
@@ -77,7 +110,7 @@ def bench_ffc() -> float:
             out = forward(variables, x)
         sync(out)
         best = min(best, time.perf_counter() - t0)
-    return batch * n_iters / best
+    return batch * n_iters / best, xla_flops(forward, variables, x)
 
 
 def bench_nsr_phases() -> dict:
@@ -125,7 +158,11 @@ def bench_nsr_phases() -> dict:
                     n_active=n_active)
             float(logs["loss"])
             best = min(best, (time.perf_counter() - t0) / n)
-        out[n_active] = best * 1000
+        out[n_active] = {
+            "ms": best * 1000,
+            "flops": xla_flops(nsr.train_step, cfg, tx, st, data, key,
+                               n_active=n_active),
+        }
         log(f"[bench] nsr n_active={n_active}: {best * 1000:.1f} ms/step")
     return out
 
@@ -165,7 +202,7 @@ def bench_stage3() -> float:
                                          jax.random.fold_in(key, 100 + i))
         float(logs["g_loss"])
         best = min(best, (time.perf_counter() - t0) / n)
-    return 1.0 / best
+    return 1.0 / best, xla_flops(gan.train_step, cfg, state, data, key)
 
 
 def bench_mv_denoise() -> float:
@@ -206,7 +243,8 @@ def bench_mv_denoise() -> float:
         out = run(p, s, e, c)
         np.asarray(out)[:1]
         best = min(best, (time.perf_counter() - t0) / 10)
-    return best * 1000
+    fl = xla_flops(run, p, s, e, c)
+    return best * 1000, (fl / 10 if fl else None)   # program = 10 steps
 
 
 def bench_recon_stage() -> dict:
@@ -218,9 +256,7 @@ def bench_recon_stage() -> dict:
     import shutil
     import tempfile
 
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "tests"))
-    from test_stage2_pipeline import write_sphere_mv
+    from drawingspinup_tpu.utils.synthetic import write_sphere_mv
 
     from drawingspinup_tpu.cli import recon as recon_cli
     from drawingspinup_tpu.core import UidPaths
@@ -284,14 +320,14 @@ def main() -> None:
     recon_stage = bench_recon_stage()
     log(f"[bench] recon stage cold {recon_stage['cold_s']:.1f} s / "
         f"warm {recon_stage['warm_s']:.1f} s")
-    ffc = bench_ffc()
+    ffc, ffc_flops = bench_ffc()
     log(f"[bench] ffc: {ffc:.1f} img/s")
     phases = bench_nsr_phases()
-    recon_train_s = sum(1000 * ms / 1000.0 for ms in phases.values())
+    recon_train_s = sum(1000 * p["ms"] / 1000.0 for p in phases.values())
     log(f"[bench] recon 3000-step projection: {recon_train_s:.1f} s")
-    s3 = bench_stage3()
+    s3, s3_flops = bench_stage3()
     log(f"[bench] stage3 gan: {s3:.1f} steps/s")
-    mv_ms = bench_mv_denoise()
+    mv_ms, mv_flops = bench_mv_denoise()
     log(f"[bench] mv unet denoise: {mv_ms:.1f} ms/step")
     exp_s = bench_export_tail()
     log(f"[bench] export host tail (512^3 smooth+march+remesh): {exp_s:.1f} s")
@@ -315,8 +351,9 @@ def main() -> None:
             "recon_stage_total_s": round(recon_stage["warm_s"], 1),
             "recon_stage_cold_s": round(recon_stage["cold_s"], 1),
             "nsr_recon_3000step_train_s": round(recon_train_s, 1),
-            "nsr_ms_per_step_by_phase": {str(k): round(v, 1)
-                                         for k, v in phases.items()},
+            "nsr_ms_per_step_by_phase": {str(k): round(p["ms"], 1)
+                                         for k, v in phases.items()
+                                         for p in [v]},
             "stage1_ffc_512_imgs_per_sec": round(ffc, 1),
             "stage3_gan_steps_per_sec": round(s3, 1),
             "stage3_budget_s": round(stage3_s, 1),
@@ -324,6 +361,19 @@ def main() -> None:
             "mv_sample_est_s": round(mv_s, 1),
             "export_host_tail_512_s": round(exp_s, 1),
             "e2e_misc_s": E2E_MISC_S,
+            # achieved TFLOP/s and % of the measured 127 TFLOP/s bf16 peak
+            # for the four hot steps (XLA cost analysis on the same
+            # executables the timings used) — VERDICT r3 next #7. Low NSR
+            # utilization is EXPECTED: that step is gather/VPU-bound, not
+            # MXU-bound (PERF_NOTES.md roofline notes).
+            "mfu": {
+                "nsr_train_by_phase": {
+                    str(k): mfu(v["flops"], v["ms"] / 1e3)
+                    for k, v in phases.items()},
+                "gan_train_step": mfu(s3_flops, 1.0 / s3),
+                "mv_unet_denoise": mfu(mv_flops, mv_ms / 1e3),
+                "ffc_forward_512": mfu(ffc_flops, 4.0 / ffc),  # batch 4
+            },
             "baseline_note": "vs_baseline = r2 e2e-measured 14.39 min/char "
                              "/ current estimate; reference publishes no "
                              "numbers (BASELINE.md)",

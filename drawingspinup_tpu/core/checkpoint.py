@@ -31,8 +31,11 @@ def save_async(path: str, tree: Any, force: bool = True):
     def wait() -> None:          # idempotent: safe in finally + happy path
         if not done:
             done.append(True)
-            ckptr.wait_until_finished()
-            ckptr.close()
+            try:
+                ckptr.wait_until_finished()
+            finally:
+                ckptr.close()    # always release the background resources,
+                                 # even when the commit itself fails (ADVICE r3)
 
     return wait
 

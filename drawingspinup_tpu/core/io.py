@@ -21,11 +21,22 @@ from PIL import Image
 def read_image_u8(path: str) -> np.ndarray:
     """Read PNG/JPG → uint8 (H, W, C) array (no [0,1] conversion — for
     device-side feature assembly, where shipping u8 through the tunnel is
-    4× cheaper than f32)."""
+    4× cheaper than f32).
+
+    The u8 fast path assumes 8-bit sources (every PNG this pipeline writes
+    is 8-bit). A 16-bit input is rounded to u8 with a warning: the on-device
+    edge test (u8 < 255) then differs from the f32 path (value/65535 < 1.0)
+    for values in [65408, 65534], and pos maps lose 8 bits (ADVICE r3) —
+    route external 16-bit sources through ``read_image`` instead."""
     arr = np.asarray(Image.open(path))
     if arr.ndim == 2:
         arr = arr[..., None]
     if arr.dtype != np.uint8:
+        import warnings
+        warnings.warn(
+            f"read_image_u8: {path} is {arr.dtype}, rounding to uint8 — "
+            "the u8 fast path is exact only for 8-bit sources",
+            stacklevel=2)
         arr = (np.asarray(arr, np.float32)
                / (65535.0 if arr.dtype == np.uint16 else 1.0)
                * 255.0 + 0.5).astype(np.uint8)

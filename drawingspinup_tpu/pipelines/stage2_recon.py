@@ -12,6 +12,7 @@ isosurface carving (:153-158).
 """
 from __future__ import annotations
 
+import sys
 import os
 import time
 from functools import lru_cache
@@ -460,7 +461,17 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
     finally:
         if ckpt_wait is not None:
             t0 = time.time()
-            ckpt_wait()
+            if sys.exc_info()[0] is None:
+                ckpt_wait()
+            else:
+                # already unwinding the grid eval's exception: settle the
+                # commit but log-and-suppress its own failure so it cannot
+                # mask the original error (ADVICE r3)
+                try:
+                    ckpt_wait()
+                except Exception as e:       # noqa: BLE001
+                    print(f"[recon] checkpoint commit failed while "
+                          f"unwinding another error: {e!r}")
             t_ckpt += time.time() - t0
 
     front_color = read_image(paths.mv("color", "front"))[..., :3] \

@@ -176,7 +176,8 @@ def list_frames(action_dir: str, pass_name: str = "color"):
 
 
 def load_full_frame_u8(action_dir: str, fname: str, use_edge: bool,
-                       pre_dir: str = "color") -> np.ndarray:
+                       pre_dir: str = "color",
+                       use_pos: bool = True) -> np.ndarray:
     """u8 source stack (H, W, 7): rgba(4) | edge(1) | pos_xy(2).
 
     Device-side assembly (train/gan.py::_full_frame_runner_u8) reproduces
@@ -198,8 +199,13 @@ def load_full_frame_u8(action_dir: str, fname: str, use_edge: bool,
     pos_path = os.path.join(action_dir, "pos", fname)
     if os.path.exists(pos_path):
         pos = read_image_u8(pos_path)[..., 0:2]
+    elif use_pos:
+        # mirror load_full_frame's f32 behavior: a missing render pass must
+        # be an error, not silently-zero features (ADVICE r3)
+        raise FileNotFoundError(
+            f"pos pass missing for u8 full-frame features: {pos_path}")
     else:
-        pos = np.zeros((h, w, 2), np.uint8)
+        pos = np.zeros((h, w, 2), np.uint8)   # unused by the consumer
     return np.concatenate([rgba, edge, pos], axis=-1)
 
 

@@ -169,12 +169,16 @@ def test_on_full_images(cfg: gan.GANConfig, state: gan.GANState,
         for fname in sorted(os.listdir(src)):
             if not fname.endswith(".png"):
                 continue
-            ck = (action, fname)
+            # key includes pre_dir/use_edge/use_pos so a caller reusing one
+            # dict across differently-configured calls can't get stale
+            # feature stacks (ADVICE r3)
+            ck = (action, fname, pre_dir, use_edge, use_pos)
             if frame_cache is not None and ck in frame_cache:
                 x_u8 = frame_cache[ck]
             else:
                 x_u8 = stage3_data.load_full_frame_u8(
-                    action_dir, fname, use_edge, pre_dir=pre_dir)
+                    action_dir, fname, use_edge, pre_dir=pre_dir,
+                    use_pos=use_pos)
                 if frame_cache is not None \
                         and len(frame_cache) < _FRAME_CACHE_CAP:
                     frame_cache[ck] = x_u8

@@ -89,7 +89,7 @@ def run_character(uid, root, uid_file, times, tiny=False, skip_recon=False):
 
     # substitute analytic sphere views (random-weight diffusion output is
     # not reconstructable); same file contract at the same resolution
-    from test_stage2_pipeline import write_sphere_mv
+    from drawingspinup_tpu.utils.synthetic import write_sphere_mv
     clock("(sphere_mv_fixture)", lambda: write_sphere_mv(
         root, uid, size=mv_size))
 

@@ -2,7 +2,7 @@
 multi-view renders, rigged FBX files)."""
 from test_fbx_render import bar_mesh, make_rig_fbx
 from test_nsr import make_sphere_dataset
-from test_stage2_pipeline import write_sphere_mv
+from drawingspinup_tpu.utils.synthetic import write_sphere_mv
 from test_stage3 import make_synthetic_keyframe
 
 __all__ = ["bar_mesh", "make_rig_fbx", "make_sphere_dataset",

@@ -64,7 +64,7 @@ def test_full_pipeline_toy_uid(tmp_path):
 
     # random-weight diffusion can't produce usable views — substitute the
     # analytic sphere renders (same file contract) for the recon stage
-    from test_stage2_pipeline import write_sphere_mv
+    from drawingspinup_tpu.utils.synthetic import write_sphere_mv
     write_sphere_mv(root, UID, size=64)
 
     # ---- stage 2b: recon CLI ----
