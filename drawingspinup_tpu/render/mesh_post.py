@@ -400,27 +400,153 @@ def save_mesh(path: str, verts: np.ndarray, faces: np.ndarray,
         v = shear_transformation(v)
     v = v * ortho_scale
     if export_uv and vert_colors is not None:
-        uvs, tex = uv_atlas(v, faces, vert_colors)
-        write_obj(path, v, faces, uvs=uvs, texture_png=tex)
+        v2, f2, uvs, tex = uv_atlas(v, faces, vert_colors)
+        write_obj(path, v2, f2, uvs=uvs, texture_png=tex)
     else:
         write_obj(path, v, faces, vertex_colors=vert_colors)
     return path
 
 
+def _face_charts(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Chart id per face: faces bucketed by dominant normal axis (6 box
+    directions), then connected components (shared-edge adjacency) within
+    each bucket. Returns (F,) int chart labels."""
+    e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+    e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+    n = np.cross(e1, e2)
+    axis = np.abs(n).argmax(axis=1)
+    sign = np.take_along_axis(n, axis[:, None], 1)[:, 0] >= 0
+    bucket = axis * 2 + sign.astype(np.int64)             # 0..5
+
+    parent = np.arange(len(faces))
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    # edge (sorted vertex pair) → list of incident faces
+    edges = np.sort(np.stack([faces[:, [0, 1]], faces[:, [1, 2]],
+                              faces[:, [2, 0]]], axis=1).reshape(-1, 2),
+                    axis=1)
+    face_of_edge = np.repeat(np.arange(len(faces)), 3)
+    order = np.lexsort((edges[:, 1], edges[:, 0]))
+    edges, face_of_edge = edges[order], face_of_edge[order]
+    same = np.all(edges[1:] == edges[:-1], axis=1)
+    for a, b in zip(face_of_edge[:-1][same], face_of_edge[1:][same]):
+        if bucket[a] == bucket[b]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+    return np.asarray([find(i) for i in range(len(faces))])
+
+
 def uv_atlas(verts: np.ndarray, faces: np.ndarray, vert_colors: np.ndarray,
-             tex_res: int = 1024) -> Tuple[np.ndarray, np.ndarray]:
-    """Minimal per-vertex UV atlas (xatlas replacement): planar xy projection
-    UVs + rasterized vertex-color texture. Adequate for the reference's
-    optional ``export_uv`` path (off by default in its config)."""
-    xy = verts[:, :2]
-    lo, hi = xy.min(0), xy.max(0)
-    uvs = (xy - lo) / np.maximum(hi - lo, 1e-9)
-    px = np.stack([uvs[:, 0] * (tex_res - 1),
-                   (1 - uvs[:, 1]) * (tex_res - 1),
-                   verts[:, 2]], axis=1).astype(np.float32)
-    depth, fid, bary = native.rasterize(px, faces, tex_res, tex_res, z_mode=1)
+             tex_res: int = 1024
+             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Chart-based UV unwrap + baked vertex-color texture — the xatlas
+    replacement for the reference's optional textured export
+    (``coloring_utils.py:151-167``).
+
+    Like ``xatlas.parametrize``, vertices are split at chart borders
+    (vmapping semantics) and the return is the REMAPPED mesh:
+    (verts2 (V2,3), faces2 (F,3), uvs (V2,2), texture (R,R,3)).
+
+    Pipeline: dominant-normal-axis box buckets → connected components →
+    per-chart planar projection onto the axis plane (world-uniform texel
+    density) → shelf packing with a texel gutter (charts provably disjoint
+    in the atlas — the round-3 planar projection overlapped charts for any
+    non-height-field mesh) → per-texel colors via the native z-buffer
+    rasterizer in UV space, depth = distance along the chart's projection
+    axis so a chart that folds over itself keeps the front sheet → edge
+    dilation into the gutter so bilinear samplers don't bleed background."""
+    chart_of_face = _face_charts(verts, faces)
+    chart_ids = np.unique(chart_of_face)
+    uv_axes = [(1, 2), (0, 2), (0, 1)]
+
+    charts = []           # (vids, local_uv(world units), depth, w, h)
+    for cid in chart_ids:
+        cf = faces[chart_of_face == cid]
+        vids = np.unique(cf)
+        local = np.searchsorted(vids, cf)
+        pts = verts[vids]
+        e1 = verts[cf[:, 1]] - verts[cf[:, 0]]
+        e2 = verts[cf[:, 2]] - verts[cf[:, 0]]
+        n = np.cross(e1, e2).sum(0)
+        a = int(np.abs(n).argmax())
+        s = 1.0 if n[a] >= 0 else -1.0
+        ua, va = uv_axes[a]
+        uv = np.stack([pts[:, ua] * s, pts[:, va]], axis=1)  # sign keeps
+        uv = uv - uv.min(0)                                  # handedness
+        depth = pts[:, a] * s                # larger = outward-facing sheet
+        w, h = np.maximum(uv.max(0), 1e-6)
+        charts.append({"vids": vids, "faces_local": local, "uv": uv,
+                       "depth": depth, "w": float(w), "h": float(h)})
+
+    # shelf packing at a world→atlas scale found by shrink-and-retry
+    gutter = 4.0 / tex_res
+    total_area = sum(c["w"] * c["h"] for c in charts)
+    scale = np.sqrt(0.6 / max(total_area, 1e-12))
+    for _ in range(40):
+        x = y = row_h = 0.0
+        placed = []
+        ok = True
+        for c in sorted(charts, key=lambda c: -c["h"]):
+            w, h = c["w"] * scale, c["h"] * scale
+            if x + w + gutter > 1.0 and x > 0.0:
+                x, y, row_h = 0.0, y + row_h + gutter, 0.0
+            if y + h + gutter > 1.0 or w + gutter > 1.0:
+                ok = False
+                break
+            placed.append((c, x, y))
+            x += w + gutter
+            row_h = max(row_h, h)
+        if ok:
+            break
+        scale *= 0.92
+    assert ok, "uv_atlas packing failed to converge"
+
+    verts2, uvs2, faces2, off = [], [], [], 0
+    for c, x, y in placed:
+        verts2.append(verts[c["vids"]])
+        uvs2.append(c["uv"] * scale + np.asarray([x, y], np.float32))
+        faces2.append(c["faces_local"] + off)
+        off += len(c["vids"])
+    depths = np.concatenate([charts_entry["depth"]
+                             for charts_entry, _, _ in placed])
+    verts2 = np.concatenate(verts2).astype(np.float32)
+    uvs2 = np.concatenate(uvs2).astype(np.float32)
+    faces2 = np.concatenate(faces2).astype(np.int64)
+
+    # bake: rasterize in UV pixel space, z = per-chart outward depth
+    px = np.stack([uvs2[:, 0] * (tex_res - 1),
+                   (1 - uvs2[:, 1]) * (tex_res - 1),
+                   depths], axis=1).astype(np.float32)
+    _, fid, bary = native.rasterize(px, faces2, tex_res, tex_res, z_mode=1)
     tex = np.zeros((tex_res, tex_res, 3), np.float32)
     hit = fid >= 0
-    fc = vert_colors[faces[fid[hit]]]                     # (K, 3, 3)
+    colors2 = vert_colors[np.concatenate([c["vids"] for c, _, _ in placed])]
+    fc = colors2[faces2[fid[hit]]]                        # (K, 3, 3)
     tex[hit] = np.einsum("kjc,kj->kc", fc, bary[hit])
-    return uvs, tex
+
+    # gutter dilation: grow chart colors outward so bilinear/mip samplers
+    # never mix in the black background at chart seams
+    filled = hit.copy()
+    for _ in range(4):
+        if filled.all():
+            break
+        grow = np.zeros_like(tex)
+        cnt = np.zeros(filled.shape, np.float32)
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            shifted = np.roll(filled, (dy, dx), (0, 1))
+            vals = np.roll(tex, (dy, dx), (0, 1))
+            m = shifted & ~filled
+            grow[m] += vals[m]
+            cnt[m] += 1.0
+        newly = cnt > 0
+        tex[newly] = grow[newly] / cnt[newly][:, None]
+        filled |= newly
+    return verts2, faces2, uvs2, tex

@@ -144,3 +144,85 @@ class TestSaveMesh:
         out = mesh_post.thinning_processing(v2 * 0.4, f, mask)
         assert out.shape == v2.shape
         assert np.isfinite(out).all()
+
+
+class TestUVAtlas:
+    """Chart-based unwrap (VERDICT r3 next #10 — replaces the planar
+    projection whose charts overlapped for any non-height-field mesh)."""
+
+    def _sphere_mesh(self):
+        n = 48
+        x = np.linspace(-1, 1, n, dtype=np.float32)
+        xx, yy, zz = np.meshgrid(x, x, x, indexing="ij")
+        binary = (xx ** 2 + yy ** 2 + zz ** 2) < 0.55
+        v, f = extract_isosurface(binary, sigma=1.0)
+        return v / n, f
+
+    def test_charts_disjoint_and_faithful(self, tmp_path):
+        v, f = self._sphere_mesh()
+        colors = np.clip(0.5 + v / np.abs(v).max() * 0.5, 0, 1)
+        v2, f2, uvs, tex = mesh_post.uv_atlas(v, f, colors, tex_res=512)
+        assert len(v2) >= len(v)                # vertices split at borders
+        assert uvs.min() >= 0.0 and uvs.max() <= 1.0
+        assert f2.max() < len(v2)
+        # geometry preserved: every remapped vertex is an original vertex
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(v).query(v2, 1)
+        assert d.max() < 1e-6
+
+        # charts disjoint: each texel's rasterized face belongs to at most
+        # one chart already by construction; verify the stronger property
+        # that nearest-sampling the texture at every vertex's uv returns
+        # (approximately) that vertex's color — impossible if charts overlap
+        R = tex.shape[0]
+        px = np.clip((uvs[:, 0] * (R - 1)).round().astype(int), 0, R - 1)
+        py = np.clip(((1 - uvs[:, 1]) * (R - 1)).round().astype(int),
+                     0, R - 1)
+        sampled = tex[py, px]
+        colors2_err = np.abs(sampled - colors[
+            cKDTree(v).query(v2, 1)[1]]).mean()
+        assert colors2_err < 0.12, colors2_err  # bilinear-footprint noise
+
+        # full export path writes a valid textured OBJ + mtl + png
+        from drawingspinup_tpu.core.io import write_obj
+        p = str(tmp_path / "uv.obj")
+        write_obj(p, v2, f2, uvs=uvs, texture_png=tex)
+        import os
+        assert os.path.exists(p.replace(".obj", ".mtl"))
+        assert os.path.exists(p.replace(".obj", ".png"))
+        assert "vt " in open(p).read()
+
+    def test_nonheightfield_folded_sheet(self):
+        """An S-fold in z (two sheets over the same xy region) — the round-3
+        planar projection collapsed these onto one chart; now the sheets
+        land in different charts/atlas regions and both keep their colors."""
+        n = 24
+        g = np.linspace(0, 1, n, dtype=np.float32)
+        xs, ys = np.meshgrid(g, g, indexing="ij")
+        verts, faces, colors = [], [], []
+        for zi, (z, col) in enumerate(
+                (((0.0), (1.0, 0.0, 0.0)), ((0.4), (0.0, 1.0, 0.0)))):
+            base = len(verts) // 1 if not verts else len(np.concatenate(verts))
+            sheet = np.stack([xs.ravel(), ys.ravel(),
+                              np.full(n * n, z, np.float32)], 1)
+            verts.append(sheet)
+            colors.append(np.tile(np.asarray(col, np.float32), (n * n, 1)))
+            idx = np.arange(n * n).reshape(n, n)
+            a, b, c, d = (idx[:-1, :-1].ravel(), idx[1:, :-1].ravel(),
+                          idx[:-1, 1:].ravel(), idx[1:, 1:].ravel())
+            quad = np.stack([np.stack([a, b, d], 1),
+                             np.stack([a, d, c], 1)]).reshape(-1, 3)
+            faces.append(quad + base)
+        v = np.concatenate(verts)
+        f = np.concatenate(faces)
+        c = np.concatenate(colors)
+        v2, f2, uvs, tex = mesh_post.uv_atlas(v, f, c, tex_res=256)
+        R = tex.shape[0]
+        px = np.clip((uvs[:, 0] * (R - 1)).round().astype(int), 0, R - 1)
+        py = np.clip(((1 - uvs[:, 1]) * (R - 1)).round().astype(int),
+                     0, R - 1)
+        sampled = tex[py, px]
+        from scipy.spatial import cKDTree
+        orig = cKDTree(v).query(v2, 1)[1]
+        err = np.abs(sampled - c[orig]).mean()
+        assert err < 0.05, err   # both sheets keep their own color
