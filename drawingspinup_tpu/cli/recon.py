@@ -25,6 +25,11 @@ def main(argv=None) -> int:
     ap.add_argument("--config", default=DEFAULT_CFG)
     ap.add_argument("--uid", default=None)
     ap.add_argument("--root", default=None)
+    ap.add_argument("--prewarm", choices=("auto", "on", "off"),
+                    default="auto",
+                    help="background-load the device programs for the "
+                         "canonical shapes while data loads (cold-start "
+                         "mitigation; auto = on at production budgets)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
 
@@ -39,6 +44,27 @@ def main(argv=None) -> int:
     exp = cfg.get("export", Config())
     geo = cfg.get("model", Config()).get("geometry", Config())
     iso = geo.get("isosurface", Config())
+
+    # cold-start prewarm: dispatch the canonical device programs from a
+    # background thread so the per-process first-execution loads overlap
+    # data IO + phase-1 training (stage2_recon.prewarm)
+    prewarm_thread = None
+    if args.prewarm == "on" or (args.prewarm == "auto"
+                                and nsr_cfg.max_steps >= 1000):
+        import threading
+
+        from drawingspinup_tpu.train import nsr
+        # populate the memoized optimizer BEFORE the thread races recon_uid
+        # for it: a concurrent lru_cache miss could hand each caller a
+        # different tx object → different jit static keys → the prewarmed
+        # program would not be the one the real loop runs
+        nsr.make_optimizer(nsr_cfg)
+        im_size = cfg.dataset.get("imSize", [1024, 1024])[0]
+        mc_res = iso.get("resolution", 512)
+        prewarm_thread = threading.Thread(
+            target=stage2_recon.prewarm, args=(nsr_cfg,),
+            kwargs=dict(im_size=im_size, mc_resolution=mc_res), daemon=True)
+        prewarm_thread.start()
 
     # multi-uid: overlap each uid's host-side mesh tail (carve/march/remesh/
     # save, ~25-40 s) with the next uid's device training

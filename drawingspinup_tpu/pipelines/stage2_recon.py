@@ -372,6 +372,59 @@ def export_name(max_steps: int, mc_res: int, face_count: int, cutting: bool,
     return name
 
 
+def prewarm(cfg: nsr.NSRConfig, im_size: int = 1024,
+            mc_resolution: int = 512, n_views: int = 6) -> float:
+    """Force the per-process device-program loads for the canonical recon
+    shapes (VERDICT r3 next #5 — cold-start attack).
+
+    The persistent compile cache makes compiles cheap, but the remote
+    service loads each program on its FIRST execution in a process
+    (~tens of seconds for the big ones, PERF_NOTES.md) — the entire
+    cold-vs-warm recon gap. This dispatches one dummy execution of every
+    program the real per-uid loop will run — hull march, each
+    progressive-band phase's train step, and the export grid evals — on
+    zeros-data at the exact production shapes (same memoized optimizer,
+    same data dict keys, same n_active statics ⇒ the identical programs).
+    Called from a background thread by cli/recon.py so the loads overlap
+    data IO and the first training phase. Returns elapsed seconds."""
+    t0 = time.time()
+    c2ws, _ = view_matrices(SIX_VIEWS[:n_views])
+    data = {
+        "images": jnp.zeros((n_views, im_size, im_size, 3), jnp.float32),
+        "normals": jnp.zeros((n_views, im_size, im_size, 3), jnp.float32),
+        "masks": jnp.ones((n_views, im_size, im_size), jnp.float32),
+        "view_weights": jnp.ones((n_views,), jnp.float32),
+        "c2w": jnp.asarray(c2ws, jnp.float32),
+    }
+    if cfg.hull_trange:
+        from drawingspinup_tpu.render.hull import hull_t_ranges
+        data["t_range"] = hull_t_ranges(data["masks"], data["c2w"],
+                                        cfg.radius)
+    tx = nsr.make_optimizer(cfg)
+    state = nsr.init_state(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    phases = sorted({cfg.sdf.grid.current_level(s)
+                     for s in range(cfg.max_steps)})
+    n_dev = len(jax.devices())
+    for n_active in phases:
+        if n_dev > 1:
+            from drawingspinup_tpu.train import nsr_parallel
+            step_fn = nsr_parallel.production_train_step(
+                cfg, tx, n_active=n_active)
+            state2, logs = step_fn(state, data, key)
+        else:
+            state2, logs = nsr.train_step(cfg, tx, state, data, key,
+                                          n_active=n_active)
+    # export grid programs (coarse + surface-band fine blocks) on the
+    # sphere-initialized SDF — realistic occupancy, same program shapes
+    isosurface_level(cfg, state.params, resolution=mc_resolution,
+                     step=cfg.max_steps)
+    float(logs["loss"])          # settle the queue
+    dt = time.time() - t0
+    print(f"[recon] prewarm: programs loaded in {dt:.1f} s")
+    return dt
+
+
 def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
               mc_resolution: int = 512, face_count: int = 50000,
               thinning: bool = False, thinning_type: str = "double",

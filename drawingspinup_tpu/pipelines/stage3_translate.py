@@ -141,7 +141,9 @@ def test_on_full_images(cfg: gan.GANConfig, state: gan.GANState,
                         render_root: str, actions: List[str], res_name: str,
                         use_mask: bool, use_pos: bool, use_edge: bool,
                         pre_dir: str,
-                        frame_cache: Optional[dict] = None) -> List[str]:
+                        frame_cache: Optional[dict] = None,
+                        max_frames_per_action: Optional[int] = None
+                        ) -> List[str]:
     """Run the generator over every frame of every action dir, writing RGBA
     results (reference trainers.py:213-232).
 
@@ -166,9 +168,13 @@ def test_on_full_images(cfg: gan.GANConfig, state: gan.GANState,
             continue
         out_dir = os.path.join(action_dir, res_name)
         os.makedirs(out_dir, exist_ok=True)
-        for fname in sorted(os.listdir(src)):
-            if not fname.endswith(".png"):
-                continue
+        fnames = [f for f in sorted(os.listdir(src)) if f.endswith(".png")]
+        if max_frames_per_action is not None:
+            # mid-training progress evals don't need every frame; the FINAL
+            # eval (the one whose outputs feed the next stage / the GIF)
+            # always runs unlimited (VERDICT r3 next #6)
+            fnames = fnames[:max_frames_per_action]
+        for fname in fnames:
             # key includes pre_dir/use_edge/use_pos so a caller reusing one
             # dict across differently-configured calls can't get stale
             # feature stacks (ADVICE r3)
@@ -256,7 +262,8 @@ def train_stage(root: str, uid: str, stage: int, use_mask: bool = True,
             te = time.time()
             test_on_full_images(cfg, state, render_root, actions, res_name,
                                 use_mask, use_pos, s["use_edge"], pre_dir,
-                                frame_cache=frame_cache)
+                                frame_cache=frame_cache,
+                                max_frames_per_action=cfg.eval_frame_limit)
             t_ckpt += te - tc
             t_eval += time.time() - te
     tc = time.time()

@@ -48,6 +48,12 @@ class GANConfig:
     perception_weight: float = 6.0
     adversarial_weight: float = 0.5
     log_interval: int = 1000
+    # mid-training progress evals render only this many frames per action
+    # (the reference renders ALL frames every 1000 batches purely for
+    # eyeballing, trainers.py:183-190 — ~11 s/eval at 64 frames); the final
+    # eval, whose outputs feed the next stage and the GIF, is always
+    # unlimited. None = reference behavior (every frame, every eval).
+    eval_frame_limit: Optional[int] = 8
     epochs: int = 3
     use_image_loss: bool = True
     # path to a VGG19-features npz (scripts/export_vgg19_npz.py); None →

@@ -104,10 +104,17 @@ def init_params(cfg: NSRConfig, key: jax.Array) -> Dict[str, Any]:
     }
 
 
+@functools.lru_cache(maxsize=8)
 def make_optimizer(cfg: NSRConfig) -> optax.GradientTransformation:
     """AdamW with per-submodule lrs + [constant → exponential-decay] schedule
     (reference system.optimizer/scheduler blocks; gamma chosen so lr decays
-    by lr_decay_target over the remaining steps)."""
+    by lr_decay_target over the remaining steps).
+
+    Memoized on cfg: ``train_step`` hashes ``tx`` as a static argument by
+    object identity, so a fresh optimizer per uid would retrace (and
+    re-lookup) the train program for every uid of a sweep — and the
+    cold-start prewarm must dispatch the EXACT program the real loop uses.
+    optax transforms are stateless (pure init/update), so sharing is safe."""
     decay_steps = max(cfg.max_steps - cfg.constant_steps, 1)
     gamma = cfg.lr_decay_target ** (1.0 / decay_steps)
 

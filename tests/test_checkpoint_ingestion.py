@@ -12,6 +12,11 @@ carrying known values and execute every loader end-to-end — file I/O, dtype
 handling, key renames, and missing-key surgery semantics — so a break in any
 loader seam fails a test rather than surfacing on first real-weight contact.
 """
+
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.slow
+
 import os
 
 import numpy as np

@@ -18,8 +18,9 @@ from drawingspinup_tpu.core.io import read_image, write_image, write_obj
 
 sys.path.insert(0, os.path.dirname(__file__))
 
-pytestmark = pytest.mark.skipif(not native.available(),
-                                reason="native lib unavailable")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not native.available(),
+                                reason="native lib unavailable")]
 
 UID = "toy_e2e"
 

@@ -1,5 +1,10 @@
 """FBX reader/writer round-trip, skinning math, and the full Blender-free
 render driver on a synthetic two-bone rig."""
+
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.slow
+
 import os
 
 import numpy as np

@@ -1,6 +1,11 @@
 """Stage-2b (NSR) unit tests: hash encoding, SDF field init/gradients, NeuS
 alpha math vs closed form, sampling, cameras, and a short end-to-end
 convergence check on a synthetic sphere."""
+
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.slow
+
 import dataclasses
 
 import numpy as np

@@ -21,7 +21,12 @@ reference is single-GPU; per-shard ranking is this rebuild's scaling
 design. What must never drift — and is pinned here — is the shard math
 itself.
 """
+
 from __future__ import annotations
+
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.slow
 
 import jax
 import jax.numpy as jnp

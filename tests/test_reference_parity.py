@@ -15,7 +15,12 @@ nine fixed poses + world-normal chain + contractions + PCA shear, the LR
 trajectory, the SingleImageDataset conditioning, and the MV/joint/sparse
 attention processors (ast-extracted reference source).
 """
+
 from __future__ import annotations
+
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.slow
 
 import numpy as np
 import pytest

@@ -2,6 +2,11 @@
 forward and VJP parity in interpret mode (conftest pins CPU, so the kernel
 runs through the Pallas interpreter; on-chip adoption is gated on the A/B
 in scripts/bench_ric_pallas.py)."""
+
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

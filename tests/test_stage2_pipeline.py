@@ -1,5 +1,10 @@
 """End-to-end stage-2b test: synthetic sphere mv/ dataset → recon CLI →
 exported OBJ with the reference naming scheme."""
+
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.slow
+
 import json
 import os
 import subprocess

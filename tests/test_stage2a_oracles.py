@@ -23,7 +23,12 @@ outputs:
 All comparisons run in float32 on CPU; tolerances are a few ulp-amplified
 1e-5s, NOT 1e-3 — a wrong exponent or a swapped norm cannot hide.
 """
+
 from __future__ import annotations
+
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.slow
 
 import numpy as np
 import pytest

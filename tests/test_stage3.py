@@ -1,5 +1,10 @@
 """Stage-3 tests: generator/discriminator shapes, RIC rotation sampling,
 patch sampling, and a short GAN training run on a synthetic pair."""
+
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.slow
+
 import dataclasses
 import os
 

@@ -6,7 +6,12 @@ isnet/lama assets are absent here — their ingestion paths have their own
 tests (test_isnet.py porter roundtrip, test_checkpoint_ingestion.py LaMa
 ckpt) — so verify() must report them 'missing', not crash.
 """
+
 from __future__ import annotations
+
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.slow
 
 import os
 import sys
