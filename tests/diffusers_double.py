@@ -51,6 +51,16 @@ import torch.nn.functional as F
 # configuration_utils / modeling_utils / utils
 # ---------------------------------------------------------------------------
 
+
+def _module(name: str) -> types.ModuleType:
+    """Stub module with a real ModuleSpec — a None __spec__ makes any later
+    importlib.util.find_spec(name) in the process raise ValueError (e.g.
+    transformers probing for xformers)."""
+    import importlib.machinery
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
 class FrozenDict(OrderedDict):
     def __getattr__(self, name):
         try:
@@ -952,16 +962,16 @@ def install_diffusers_double() -> None:
         return
     here = sys.modules[__name__]
 
-    d = types.ModuleType("diffusers")
+    d = _module("diffusers")
     d._IS_DOUBLE = True
     d.__version__ = "0.19.3"
 
-    cu = types.ModuleType("diffusers.configuration_utils")
+    cu = _module("diffusers.configuration_utils")
     cu.ConfigMixin = ConfigMixin
     cu.register_to_config = register_to_config
     cu.FrozenDict = FrozenDict
 
-    loaders = types.ModuleType("diffusers.loaders")
+    loaders = _module("diffusers.loaders")
 
     class UNet2DConditionLoadersMixin:
         pass
@@ -970,7 +980,7 @@ def install_diffusers_double() -> None:
 
     logging_mod = _Logging("diffusers.utils.logging")
 
-    utils = types.ModuleType("diffusers.utils")
+    utils = _module("diffusers.utils")
     utils.BaseOutput = BaseOutput
     utils.logging = logging_mod
     utils.deprecate = deprecate
@@ -984,20 +994,20 @@ def install_diffusers_double() -> None:
     utils._get_model_file = _unused
     utils.is_accelerate_available = lambda: False
     utils.is_safetensors_available = lambda: False
-    utils_import = types.ModuleType("diffusers.utils.import_utils")
+    utils_import = _module("diffusers.utils.import_utils")
     utils_import.is_xformers_available = lambda: True
     utils.import_utils = utils_import
 
-    models = types.ModuleType("diffusers.models")
-    activations = types.ModuleType("diffusers.models.activations")
+    models = _module("diffusers.models")
+    activations = _module("diffusers.models.activations")
     activations.get_activation = get_activation
-    attention_processor = types.ModuleType(
+    attention_processor = _module(
         "diffusers.models.attention_processor")
     attention_processor.Attention = Attention
     attention_processor.AttnProcessor = AttnProcessor
     attention_processor.XFormersAttnProcessor = XFormersAttnProcessor
     attention_processor.AttentionProcessor = object  # typing alias only
-    attention = types.ModuleType("diffusers.models.attention")
+    attention = _module("diffusers.models.attention")
     attention.FeedForward = FeedForward
     attention.GEGLU = GEGLU
     attention.Attention = Attention
@@ -1009,30 +1019,30 @@ def install_diffusers_double() -> None:
     attention.AdaLayerNorm = AdaLayerNorm
     attention.AdaLayerNormZero = AdaLayerNorm
 
-    embeddings = types.ModuleType("diffusers.models.embeddings")
+    embeddings = _module("diffusers.models.embeddings")
     embeddings.TimestepEmbedding = TimestepEmbedding
     embeddings.Timesteps = Timesteps
     embeddings.get_timestep_embedding = get_timestep_embedding
     for name in _PLACEHOLDER_EMBEDDINGS:
         setattr(embeddings, name, type(name, (_Placeholder,), {}))
 
-    modeling_utils = types.ModuleType("diffusers.models.modeling_utils")
+    modeling_utils = _module("diffusers.models.modeling_utils")
     modeling_utils.ModelMixin = ModelMixin
     modeling_utils.load_state_dict = _unused
     modeling_utils._load_state_dict_into_model = _unused
 
-    resnet = types.ModuleType("diffusers.models.resnet")
+    resnet = _module("diffusers.models.resnet")
     resnet.ResnetBlock2D = ResnetBlock2D
     resnet.Downsample2D = Downsample2D
     resnet.Upsample2D = Upsample2D
 
-    unet_2d_blocks = types.ModuleType("diffusers.models.unet_2d_blocks")
+    unet_2d_blocks = _module("diffusers.models.unet_2d_blocks")
     unet_2d_blocks.DownBlock2D = DownBlock2D
     unet_2d_blocks.UpBlock2D = UpBlock2D
     for name in _PLACEHOLDER_BLOCKS:
         setattr(unet_2d_blocks, name, type(name, (_Placeholder,), {}))
 
-    lora = types.ModuleType("diffusers.models.lora")
+    lora = _module("diffusers.models.lora")
 
     class LoRACompatibleConv(nn.Conv2d):
         pass
@@ -1057,8 +1067,8 @@ def install_diffusers_double() -> None:
     d.utils = utils
     d.models = models
 
-    xformers = types.ModuleType("xformers")
-    xformers_ops = types.ModuleType("xformers.ops")
+    xformers = _module("xformers")
+    xformers_ops = _module("xformers.ops")
     xformers_ops.memory_efficient_attention = memory_efficient_attention
     xformers.ops = xformers_ops
 
@@ -1092,10 +1102,10 @@ def import_reference_mvdiffusion():
 
     install_diffusers_double()
     base = Path("/root/reference/2_charactor_reconstructor")
-    pkg = types.ModuleType("mvdiffusion")
+    pkg = _module("mvdiffusion")
     pkg.__path__ = [str(base / "mvdiffusion")]
     sys.modules.setdefault("mvdiffusion", pkg)
-    mpkg = types.ModuleType("mvdiffusion.models")
+    mpkg = _module("mvdiffusion.models")
     mpkg.__path__ = [str(base / "mvdiffusion" / "models")]
     sys.modules.setdefault("mvdiffusion.models", mpkg)
 

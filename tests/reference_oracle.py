@@ -28,12 +28,23 @@ STAGE2 = REFERENCE / "2_charactor_reconstructor"
 STAGE3 = REFERENCE / "3_style_translator"
 
 
+
+def _module(name: str) -> types.ModuleType:
+    """Stub module with a real ModuleSpec: a bare ModuleType leaves
+    __spec__ = None, which makes importlib.util.find_spec(name) raise
+    ValueError in ANY later import probe of the same process — e.g.
+    transformers probing for torchvision in the CLIP oracle."""
+    import importlib.machinery
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
 def _stub_kornia() -> None:
     if "kornia" in sys.modules:
         return
-    kornia = types.ModuleType("kornia")
-    geometry = types.ModuleType("kornia.geometry")
-    transform = types.ModuleType("kornia.geometry.transform")
+    kornia = _module("kornia")
+    geometry = _module("kornia.geometry")
+    transform = _module("kornia.geometry.transform")
 
     def rotate(x, angle, *a, **k):  # never called by oracled modules
         raise NotImplementedError("kornia stub: rotate not available")
@@ -75,9 +86,9 @@ def _stub_torchvision() -> None:
         return
     import torch.nn as nn
 
-    tv = types.ModuleType("torchvision")
-    models = types.ModuleType("torchvision.models")
-    ops = types.ModuleType("torchvision.ops")
+    tv = _module("torchvision")
+    models = _module("torchvision.models")
+    ops = _module("torchvision.ops")
 
     class _VGG(nn.Module):
         def __init__(self):
@@ -135,7 +146,7 @@ def _stub_tcnn_pl_omegaconf() -> None:
     tinycudann (never touched by VanillaMLP), pytorch_lightning's rank_zero
     logging, and omegaconf (config_to_primitive is unused by VanillaMLP)."""
     if "tinycudann" not in sys.modules:
-        tcnn = types.ModuleType("tinycudann")
+        tcnn = _module("tinycudann")
 
         def _unavailable(*a, **k):
             raise NotImplementedError("tinycudann stub")
@@ -145,9 +156,9 @@ def _stub_tcnn_pl_omegaconf() -> None:
         tcnn.free_temporary_memory = lambda: None
         sys.modules["tinycudann"] = tcnn
     if "pytorch_lightning" not in sys.modules:
-        pl = types.ModuleType("pytorch_lightning")
-        utilities = types.ModuleType("pytorch_lightning.utilities")
-        rank_zero = types.ModuleType("pytorch_lightning.utilities.rank_zero")
+        pl = _module("pytorch_lightning")
+        utilities = _module("pytorch_lightning.utilities")
+        rank_zero = _module("pytorch_lightning.utilities.rank_zero")
         rank_zero.rank_zero_debug = lambda *a, **k: None
         rank_zero.rank_zero_info = lambda *a, **k: None
         utilities.rank_zero = rank_zero
@@ -156,7 +167,7 @@ def _stub_tcnn_pl_omegaconf() -> None:
         sys.modules["pytorch_lightning.utilities"] = utilities
         sys.modules["pytorch_lightning.utilities.rank_zero"] = rank_zero
     if "omegaconf" not in sys.modules:
-        om = types.ModuleType("omegaconf")
+        om = _module("omegaconf")
 
         class OmegaConf:
             @staticmethod
@@ -173,13 +184,13 @@ def import_reference_network_utils():
     from file under stubbed externals."""
     _stub_tcnn_pl_omegaconf()
     base = STAGE2 / "instant_nsr"
-    pkg = types.ModuleType("instant_nsr")
+    pkg = _module("instant_nsr")
     pkg.__path__ = [str(base)]
     sys.modules.setdefault("instant_nsr", pkg)
     for sub in ("utils", "models", "systems"):
         name = f"instant_nsr.{sub}"
         if name not in sys.modules:
-            m = types.ModuleType(name)
+            m = _module(name)
             m.__path__ = [str(base / sub)]
             sys.modules[name] = m
     if "instant_nsr.utils.misc" not in sys.modules:
@@ -227,7 +238,7 @@ def import_reference_mv_processors():
             probs = torch.softmax(q @ k.transpose(-1, -2) * scale, dim=-1)
             return probs @ v
 
-    xformers = types.ModuleType("xformers")
+    xformers = _module("xformers")
     xformers.ops = _XFormersOps()
 
     ns = {"torch": torch, "rearrange": rearrange, "repeat": repeat,
