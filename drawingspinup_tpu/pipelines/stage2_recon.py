@@ -372,6 +372,9 @@ def export_name(max_steps: int, mc_res: int, face_count: int, cutting: bool,
     return name
 
 
+_PREWARMED: set = set()
+
+
 def prewarm(cfg: nsr.NSRConfig, im_size: int = 1024,
             mc_resolution: int = 512, n_views: int = 6) -> float:
     """Force the per-process device-program loads for the canonical recon
@@ -386,7 +389,15 @@ def prewarm(cfg: nsr.NSRConfig, im_size: int = 1024,
     zeros-data at the exact production shapes (same memoized optimizer,
     same data dict keys, same n_active statics ⇒ the identical programs).
     Called from a background thread by cli/recon.py so the loads overlap
-    data IO and the first training phase. Returns elapsed seconds."""
+    data IO and the first training phase. Returns elapsed seconds.
+
+    Once per process per config: a sweep invokes the recon CLI once per
+    uid, and the dummy grid eval alone is ~15 s of device work — repeat
+    calls are no-ops (the programs are already resident)."""
+    pw_key = (cfg, im_size, mc_resolution, n_views)
+    if pw_key in _PREWARMED:
+        return 0.0
+    _PREWARMED.add(pw_key)
     t0 = time.time()
     c2ws, _ = view_matrices(SIX_VIEWS[:n_views])
     data = {

@@ -1,5 +1,9 @@
 """Stage-2a tests: MV/joint attention semantics, UNet/VAE/CLIP shapes, DDIM
 math, weight-port key coverage, and the tiny end-to-end generation flow."""
+
+import pytest as _pytest_mark
+
+pytestmark = _pytest_mark.mark.slow
 import dataclasses
 
 import numpy as np
