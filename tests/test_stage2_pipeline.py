@@ -119,3 +119,17 @@ def test_sparse_grid_odd_resolution_falls_back_cleanly():
                          step=TINY_NSR.max_steps)
     assert g.shape == (27, 27, 27)
     assert np.isfinite(g).all()
+
+
+def test_prewarm_smoke():
+    """stage2_recon.prewarm compiles/dispatches every canonical program
+    (hull march, per-phase train steps incl. the dp path on the 8-device
+    mesh, export grid) without error, and is once-per-process."""
+    from drawingspinup_tpu.pipelines import stage2_recon
+    from test_nsr import TINY_NSR
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_NSR, hull_trange=True)
+    dt = stage2_recon.prewarm(cfg, im_size=32, mc_resolution=32)
+    assert dt > 0.0
+    assert stage2_recon.prewarm(cfg, im_size=32, mc_resolution=32) == 0.0
