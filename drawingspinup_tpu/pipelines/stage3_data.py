@@ -70,7 +70,13 @@ class KeyframeData(NamedTuple):
     pre: jnp.ndarray        # (H, W, C) normalized input features
     post: jnp.ndarray       # (H, W, 3) normalized target
     mask: jnp.ndarray       # (H, W) [0,1]
-    valid_yx: jnp.ndarray   # (N, 2) int32 valid midpoints
+    valid_yx: jnp.ndarray   # (N, 2) int32 valid midpoints (may be
+                            # bucket-padded — see n_valid)
+    # real midpoint count when valid_yx is padded to a shape bucket
+    # (a TRACED sampling bound, so every uid of a sweep shares ONE compiled
+    # train program instead of retracing per distinct N); None = use
+    # valid_yx.shape[0] (unpadded constructors, tests, benches)
+    n_valid: Optional[jnp.ndarray] = None
 
 
 def load_keyframe_pair(action_dir: str, pre_dir: str, post_path: str,
@@ -131,11 +137,22 @@ def load_keyframe_pair(action_dir: str, pre_dir: str, post_path: str,
     ys, xs = np.nonzero(valid)
     valid_yx = np.stack([ys, xs], axis=1).astype(np.int32)
 
+    # bucket-pad the midpoint list: its length N differs for EVERY uid, and
+    # a static N retraces + re-loads the GAN train program per uid of a
+    # sweep (~30-60 s compile + remote program load each). Padding to the
+    # next 16384 bucket with wrapped entries (never sampled — the sampler
+    # bounds indices by the real n_valid) makes the program shape shared.
+    n_real = len(valid_yx)
+    bucket = max(16384, -(-n_real // 16384) * 16384)
+    pad = np.resize(valid_yx, (bucket, 2)) if n_real else np.zeros(
+        (bucket, 2), np.int32)
+
     return KeyframeData(
         pre=jnp.asarray(pre, jnp.float32),
         post=jnp.asarray(normalize(post_rgb), jnp.float32),
         mask=jnp.asarray(mask, jnp.float32),
-        valid_yx=jnp.asarray(valid_yx),
+        valid_yx=jnp.asarray(pad),
+        n_valid=jnp.asarray(max(n_real, 1), jnp.int32),
     )
 
 
@@ -153,7 +170,9 @@ def sample_patches(data: KeyframeData, key: jax.Array, batch: int,
     """Random patch batch: pre/post/mask at shared midpoints + an
     independent random GT patch (+mask) for the discriminator."""
     k1, k2 = jax.random.split(key)
-    n = data.valid_yx.shape[0]
+    # traced bound when the midpoint list is bucket-padded (shared program
+    # across uids); static shape bound otherwise
+    n = data.n_valid if data.n_valid is not None else data.valid_yx.shape[0]
     i1 = jax.random.randint(k1, (batch,), 0, n)
     i2 = jax.random.randint(k2, (batch,), 0, n)
     mids = data.valid_yx[i1]

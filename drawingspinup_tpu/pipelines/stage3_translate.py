@@ -226,7 +226,9 @@ def train_stage(root: str, uid: str, stage: int, use_mask: bool = True,
         if os.path.isdir(os.path.join(render_root, d)))
 
     state = gan.init_state(cfg, jax.random.PRNGKey(seed))
-    n_valid = int(data.valid_yx.shape[0])
+    # real (unpadded) midpoint count defines the reference epoch budget
+    n_valid = int(data.n_valid) if data.n_valid is not None \
+        else int(data.valid_yx.shape[0])
     batches_per_epoch = max(n_valid // cfg.batch_size, 1)
     total = cfg.epochs * batches_per_epoch
     if max_batches is not None:
