@@ -82,29 +82,43 @@ def main(argv=None) -> int:
                "gif": gif}
     fns = {s: all_fns[s] for s in stages}
 
-    # cold-start: recon's device programs take ~100-200 s of per-process
-    # first-execution loads (PERF_NOTES r4). When earlier stages run first,
-    # kick the prewarm off NOW so those loads overlap the whole stage-1/2a
-    # phase instead of the first recon uid's data IO.
-    if "recon" in stages and stages[0] != "recon":
+    # cold-start: the recon / stage-3 device programs take ~100-200 s of
+    # per-process first-execution loads (PERF_NOTES r4). When earlier
+    # stages run first, kick the prewarms off NOW (one background thread,
+    # pipeline order) so those loads overlap the earlier stages' compute
+    # instead of each stage's own first uid.
+    def _prewarm_later_stages():
+        if "recon" in stages and stages[0] != "recon":
+            from drawingspinup_tpu.core import load_config
+            from drawingspinup_tpu.cli.recon import DEFAULT_CFG
+            from drawingspinup_tpu.pipelines import stage2_recon
+            cfg_yaml = load_config(DEFAULT_CFG, args.recon_overrides)
+            nsr_cfg = stage2_recon.nsr_config_from_yaml(cfg_yaml)
+            if nsr_cfg.max_steps >= 1000:
+                iso = cfg_yaml.get("model", {}).get("geometry", {}) \
+                    .get("isosurface", {})
+                stage2_recon.prewarm(
+                    nsr_cfg,
+                    im_size=cfg_yaml.dataset.get("imSize", [1024, 1024])[0],
+                    mc_resolution=iso.get("resolution", 512))
+        if "train_style" in stages and stages[0] != "train_style":
+            from drawingspinup_tpu.pipelines import stage3_translate
+            stage3_translate.prewarm()
+
+    if ("recon" in stages or "train_style" in stages) \
+            and stages[0] not in ("recon", "train_style"):
+        import threading
+
         from drawingspinup_tpu.core import load_config
         from drawingspinup_tpu.cli.recon import DEFAULT_CFG
         from drawingspinup_tpu.pipelines import stage2_recon
-        cfg_yaml = load_config(DEFAULT_CFG, args.recon_overrides)
-        nsr_cfg = stage2_recon.nsr_config_from_yaml(cfg_yaml)
-        if nsr_cfg.max_steps >= 1000:
-            import threading
-
-            from drawingspinup_tpu.train import nsr
-            nsr.make_optimizer(nsr_cfg)   # populate before the thread races
-            iso = cfg_yaml.get("model", {}).get("geometry", {}) \
-                .get("isosurface", {})
-            threading.Thread(
-                target=stage2_recon.prewarm, args=(nsr_cfg,),
-                kwargs=dict(
-                    im_size=cfg_yaml.dataset.get("imSize", [1024, 1024])[0],
-                    mc_resolution=iso.get("resolution", 512)),
-                daemon=True).start()
+        from drawingspinup_tpu.train import nsr
+        if "recon" in stages:
+            # populate the memoized optimizer before the thread races the
+            # recon loop for it (different tx objects = different programs)
+            nsr.make_optimizer(stage2_recon.nsr_config_from_yaml(
+                load_config(DEFAULT_CFG, args.recon_overrides)))
+        threading.Thread(target=_prewarm_later_stages, daemon=True).start()
     result = sweep_mod.run_sweep(args.root, args.uids, fns,
                                  shard_index=shard_index,
                                  num_shards=num_shards,

@@ -16,6 +16,7 @@ import time
 from typing import List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from drawingspinup_tpu.core import UidPaths
@@ -135,6 +136,58 @@ def post_path_for_stage(paths: UidPaths, stage: int) -> str:
 
 
 _FRAME_CACHE_CAP = 512    # u8 frames (~1.8 MB each at 512²) — bounds host RAM
+
+
+_PREWARMED: set = set()
+
+
+def prewarm(hw: int = 512, use_mask: bool = True, use_pos: bool = True
+            ) -> float:
+    """Force the per-process loads of the canonical stage-3 device programs
+    (same cold-start rationale as stage2_recon.prewarm): the stage-1 and
+    stage-2 train steps — ONE program each across all uids now that the
+    midpoint list is bucket-padded — and the u8 full-frame eval runner.
+    Once per process per (config, hw); returns elapsed seconds (0 = warm)."""
+    from drawingspinup_tpu.pipelines.stage3_data import KeyframeData
+
+    t0 = time.time()
+    ran = False
+    n_dev = len(jax.devices())
+    for stage in (1, 2):
+        # the EXACT config the production CLIs build (train_stage{1,2}.py
+        # load the reference yamls) — a near-miss cfg would warm a
+        # different jit static key and load a different program
+        cfg, _ = gan_config_from_yaml(DEFAULT_STAGE_CFGS[stage],
+                                      use_mask=use_mask, use_pos=use_pos)
+        key = (cfg, hw)
+        if key in _PREWARMED:
+            continue
+        _PREWARMED.add(key)
+        ran = True
+        s = stage_settings(stage, use_mask, use_pos)
+        w = hw * 2 if s["use_edge"] else hw   # edge aug doubles train width
+        data = KeyframeData(
+            pre=jnp.zeros((hw, w, cfg.input_channels), jnp.float32),
+            post=jnp.zeros((hw, w, 3), jnp.float32),
+            mask=jnp.ones((hw, w), jnp.float32),
+            valid_yx=jnp.zeros((16384, 2), jnp.int32),
+            n_valid=jnp.asarray(1, jnp.int32))
+        state = gan.init_state(cfg, jax.random.PRNGKey(0))
+        k = jax.random.PRNGKey(1)
+        if n_dev > 1:
+            from drawingspinup_tpu.train import gan_parallel
+            gan_parallel.production_train_step(cfg)(state, data, k)
+        else:
+            gan.train_step(cfg, state, data, k)
+        # u8 full-frame runner (periodic eval + test_stage stylization)
+        out = gan.generate_full_rgba_async(
+            cfg, state, np.zeros((hw, hw, 7), np.uint8), use_mask, use_pos,
+            s["use_edge"])
+        np.asarray(out)
+    dt = time.time() - t0
+    if ran:
+        print(f"[stage3] prewarm: programs loaded in {dt:.1f} s")
+    return dt if ran else 0.0
 
 
 def test_on_full_images(cfg: gan.GANConfig, state: gan.GANState,
