@@ -469,7 +469,18 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
     start_step = 0
     latest = ckpt.latest_step(ckpt_root)
     if latest is not None and latest <= cfg.max_steps:
-        state = ckpt.restore(ckpt.step_path(ckpt_root, latest), state)
+        # checkpoints carry params+step only: the single save happens AT
+        # max_steps (reference every_n_train_steps=max_steps), after which
+        # no optimizer step ever runs again — the Adam moments were ~4× the
+        # params' D2H bytes (~10 s of the stage wall) for nothing. Resume
+        # therefore means "training done, re-export". Old full-TrainState
+        # dirs restore through the fallback.
+        try:
+            restored = ckpt.restore(ckpt.step_path(ckpt_root, latest),
+                                    {"params": state.params})
+            state = state._replace(params=restored["params"])
+        except Exception:
+            state = ckpt.restore(ckpt.step_path(ckpt_root, latest), state)
         state = state._replace(step=jnp.asarray(latest, jnp.int32))
         start_step = latest
         print(f"[recon {uid}] resumed from step {latest}")
@@ -509,7 +520,7 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
     if cfg.max_steps > start_step:
         # async: the disk commit overlaps the export grid eval below
         ckpt_wait = ckpt.save_async(ckpt.step_path(ckpt_root, cfg.max_steps),
-                                    state)
+                                    {"params": state.params})
     t_ckpt = time.time() - t0
 
     # device half of the export: fine SDF grid (sparse surface-band).

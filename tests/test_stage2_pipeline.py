@@ -133,3 +133,29 @@ def test_prewarm_smoke():
     dt = stage2_recon.prewarm(cfg, im_size=32, mc_resolution=32)
     assert dt > 0.0
     assert stage2_recon.prewarm(cfg, im_size=32, mc_resolution=32) == 0.0
+
+
+def test_recon_resume_from_params_checkpoint(tmp_path, capsys):
+    """A finished-training uid re-exports from the params-only checkpoint
+    without retraining (the only save happens at max_steps, so resume ≡
+    're-export'); the restored run must print the resume line and produce
+    an OBJ again after the first one is deleted."""
+    from drawingspinup_tpu.cli import recon as recon_cli
+    from drawingspinup_tpu.core import UidPaths
+
+    root = str(tmp_path)
+    write_sphere_mv(root, "resume_uid")
+    uid_file = tmp_path / "uids.txt"
+    uid_file.write_text("resume_uid")
+    args = ["--uid", "resume_uid", "--root", root,
+            f"dataset.uid_list_file={uid_file}"] + TINY_OVERRIDES
+    assert recon_cli.main(args) == 0
+    paths = UidPaths(root, "resume_uid")
+    objs = [f for f in os.listdir(paths.mesh_dir) if f.endswith(".obj")]
+    assert objs
+    os.remove(os.path.join(paths.mesh_dir, objs[0]))
+    capsys.readouterr()
+    assert recon_cli.main(args) == 0
+    out = capsys.readouterr().out
+    assert "resumed from step" in out
+    assert any(f.endswith(".obj") for f in os.listdir(paths.mesh_dir))
