@@ -65,13 +65,36 @@ class Attention(nn.Module):
         v = nn.Dense(c, use_bias=False, name="to_v")(ctx)
 
         if kv_fold == "views":
-            # (B·V, S, C) → each view attends over all views' tokens
-            bv, s, _ = k.shape
+            # (B·V, S, C) → each view attends over all views' tokens.
+            # Queries fold along sequence too: per-row attention is
+            # independent, so self-attention over the (b, V·S) folded
+            # sequence is EXACTLY the repeated-KV computation without
+            # materializing V copies of K/V (at 32² latents the repeat
+            # alone wrote ~190 MB/instance to HBM) — and the single
+            # (b, V·S)² attention tiles the MXU better than V small ones.
+            bv, s, _ = q.shape
             b = bv // num_views
+            q = q.reshape(b, num_views * s, c)
             k = k.reshape(b, num_views * s, c)
             v = v.reshape(b, num_views * s, c)
-            k = jnp.repeat(k, num_views, axis=0)
-            v = jnp.repeat(v, num_views, axis=0)
+            out = _attention(q, k, v, self.heads).reshape(bv, s, c)
+            init = nn.initializers.zeros if self.zero_out \
+                else nn.initializers.lecun_normal()
+            return nn.Dense(c, kernel_init=init, name="to_out")(out)
+        elif kv_fold == "domains":
+            # batch = [domain0 | domain1]; K/V see both domains. Same
+            # query-folding identity: stack the two domain halves along
+            # sequence and run plain self-attention over (h, 2S).
+            bv, s, _ = q.shape
+            h2 = bv // 2
+            q = jnp.concatenate([q[:h2], q[h2:]], axis=1)   # (h, 2s, c)
+            k = jnp.concatenate([k[:h2], k[h2:]], axis=1)
+            v = jnp.concatenate([v[:h2], v[h2:]], axis=1)
+            out = _attention(q, k, v, self.heads)
+            out = jnp.concatenate([out[:, :s], out[:, s:]], axis=0)
+            init = nn.initializers.zeros if self.zero_out \
+                else nn.initializers.lecun_normal()
+            return nn.Dense(c, kernel_init=init, name="to_out")(out)
         elif kv_fold == "views_sparse":
             bv, s, _ = k.shape
             b = bv // num_views
@@ -81,14 +104,6 @@ class Attention(nn.Module):
                                  num_views, axis=0)
             k = jnp.concatenate([k_front, k], axis=1)
             v = jnp.concatenate([v_front, v], axis=1)
-        elif kv_fold == "domains":
-            # batch = [domain0 | domain1]; K/V see both domains
-            bv, s, _ = k.shape
-            h = bv // 2
-            k = jnp.concatenate([k[:h], k[h:]], axis=1)     # (h, 2s, c)
-            v = jnp.concatenate([v[:h], v[h:]], axis=1)
-            k = jnp.concatenate([k, k], axis=0)
-            v = jnp.concatenate([v, v], axis=0)
 
         out = _attention(q, k, v, self.heads)
         init = nn.initializers.zeros if self.zero_out \
