@@ -35,6 +35,7 @@ block (sequential TPU grid).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -45,13 +46,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 SHIFTS = [(sy, sx) for sy in (-1, 0, 1) for sx in (-1, 0, 1)]
 
-# rows per grid step (B_t·H·W); 1024 keeps the 9 per-tap (rows, O≤128)
-# f32 buffers at ≤4.7 MB so forward+backward stay well inside 16 MB VMEM
-_TARGET_ROWS = 1024
+# Static (shift i, tap t) sparsity of ric_shifted_weights: the CENTER tap
+# (t=4) never moves under rotation, so it contributes only to the center
+# shift (i=4) — 8 of the 81 planes are identically zero for every (H, W).
+# (Verified numerically for hw ∈ {8,16,32}; the interpret-mode parity
+# tests vs the XLA formulation would catch any violation.)
+def _active(i: int, t: int) -> bool:
+    return t != 4 or i == 4
+
+# rows per grid step (B_t·H·W). Per-layer dependent-chain attribution
+# (scripts/bench_ric_layers.py) shows per-grid-step overhead — not VPU
+# math — dominates at the production 32² patch shapes: upconv1 fwd+bwd is
+# 1.18 ms/conv at rows=1024, 0.72 at 2048, 0.56 at 4096 (grid 40→10), and
+# the full GAN train step drops 11.56 → 7.17 ms. rows=8192 OOMs Mosaic's
+# scoped VMEM in the conv_11 backward (114.6 MB > 100 MB cap, v5e).
+# Overridable for on-chip block-size sweeps.
+_TARGET_ROWS = int(os.environ.get("DSU_RIC_TARGET_ROWS", "4096"))
 
 # Mosaic's default 16 MB scoped-vmem cap is far below the v5e's physical
-# VMEM; the unrolled 81 (rows, O) tap-broadcast temporaries are all hoisted
-# by the compiler, so the fwd kernel's stack peaks near 41 MB at rows=1024.
+# VMEM; the unrolled (rows, O) tap-broadcast temporaries are all hoisted
+# by the compiler, so the kernel stack grows with rows (fwd ~41 MB at
+# rows=1024 pre-plane-skip). Accumulating the contraction into ONE explicit
+# VMEM scratch (in-place stores) was tried to cut the hoisted temps and is
+# a measured NEGATIVE: the serialized stores cost ~1 ms/step of ILP
+# (8.21 vs 7.17 ms GAN step at rows=4096) — don't re-try (PERF_NOTES r4).
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
@@ -85,10 +103,13 @@ def _fwd_kernel(w: int, bt: int, x_ref, wk_ref, swf_ref, valid_ref, out_ref):
     ]
     acc = jnp.zeros((rows, o), jnp.float32)
     for i, (sy, sx) in enumerate(SHIFTS):
-        y_i = zs[0] * _col(swf_ref[:, (i * 9):(i * 9) + 1], bt, hw)
-        for t in range(1, 9):
-            y_i = y_i + zs[t] * _col(swf_ref[:, (i * 9 + t):(i * 9 + t) + 1],
-                                     bt, hw)
+        y_i = None
+        for t in range(9):
+            if not _active(i, t):
+                continue
+            term = zs[t] * _col(swf_ref[:, (i * 9 + t):(i * 9 + t) + 1],
+                                bt, hw)
+            y_i = term if y_i is None else y_i + term
         off = sy * w + sx
         # out[p] = valid_i[p] ? y_i[p + off] : 0 — where, not multiply:
         # a non-finite wrap value times 0 would be NaN, while shift2d's
@@ -122,10 +143,13 @@ def _bwd_kernel(w: int, bt: int, x_ref, wk_ref, swf_ref, valid_ref, g_ref,
 
     dx = None
     for t in range(9):
-        dz = daccs[0] * _col(swf_ref[:, t:t + 1], bt, hw)
-        for i in range(1, 9):
-            dz = dz + daccs[i] * _col(swf_ref[:, (i * 9 + t):(i * 9 + t) + 1],
-                                      bt, hw)
+        dz = None
+        for i in range(9):
+            if not _active(i, t):
+                continue
+            term = daccs[i] * _col(swf_ref[:, (i * 9 + t):(i * 9 + t) + 1],
+                                   bt, hw)
+            dz = term if dz is None else dz + term
         # dx += dz · Wkᵀ  (contract O)
         term = jax.lax.dot_general(
             dz, wk_ref[t], (((1,), (1,)), ((), ())),

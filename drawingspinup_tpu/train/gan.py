@@ -68,7 +68,9 @@ class GANConfig:
     # VMEM-resident) | "fused" (XLA). Adopted after the on-chip A/B
     # (scripts/bench_ric_pallas.py, 2026-08-18): full train step 8.35 ms
     # pallas vs 12.06 ms fused (−31%), forward 9.62 vs 13.00 ms; exact-math
-    # parity in tests/test_ric_pallas.py. Inference always uses "pershift"
+    # parity in tests/test_ric_pallas.py. Round-4 kernel tuning (plane-skip
+    # + 4× row blocks, scripts/bench_ric_layers.py) took the dependent-chain
+    # production step 12.35 → 7.17 ms. Inference always uses "pershift"
     # (full 512² frames exceed the kernel's VMEM-resident row budget).
     ric_variant: str = "pallas"
 
