@@ -101,3 +101,22 @@ def test_nonfinite_input_keeps_hard_border_zeros(rng):
     np.testing.assert_array_equal(np.isfinite(got), np.isfinite(want))
     fin = np.isfinite(want)
     np.testing.assert_allclose(got[fin], want[fin], atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("hw", [8, 16, 32])
+def test_zero_plane_skip_invariant(hw):
+    """The kernel statically skips (shift i, tap t) planes where t == 4 and
+    i != 4 (_active): the center tap never moves under rotation, so its
+    weight lands only on the center shift. Pin that the 8 skipped planes of
+    ric_shifted_weights are EXACTLY zero at every production layer size —
+    if a future RIC sampling change violates this, the kernel silently
+    drops real contributions."""
+    from drawingspinup_tpu.kernels.ric_conv import _active
+
+    swf = np.asarray(ric_shifted_weights(hw, hw))  # (9 shifts, 9 taps, H, W)
+    for i in range(9):
+        for t in range(9):
+            if not _active(i, t):
+                assert np.all(swf[i, t] == 0.0), (i, t)
+    # and the kept planes are not trivially empty (sanity on the mask shape)
+    assert np.abs(swf[4, 4]).max() > 0
