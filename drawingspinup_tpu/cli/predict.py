@@ -44,16 +44,21 @@ def load_variables(cfg: Config, model, sample_shape=(1, 64, 64, 4)):
         return ckpt.restore(full, init_vars)
     if full and os.path.isfile(full):  # torch state_dict
         import torch  # local import: torch is a conversion-only dependency
-        from drawingspinup_tpu.utils.torch_port import convert_ffc_generator
+        from drawingspinup_tpu.utils import torch_port
         state = torch.load(full, map_location="cpu")
         if isinstance(state, dict) and "state_dict" in state:
             state = state["state_dict"]
         state = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
                  for k, v in state.items()}
         g = cfg.get("generator", Config())
-        conv = convert_ffc_generator(state,
-                                     n_downsampling=g.get("n_downsampling", 3),
-                                     n_blocks=g.get("n_blocks", 9))
+        # converter mirrors build_generator's kind dispatch (lama-regular
+        # loads a pix2pixhd_global checkpoint — reference lama-regular.yaml:8)
+        convert = (torch_port.convert_global_generator
+                   if g.get("kind", "ffc_resnet") == "pix2pixhd_global"
+                   else torch_port.convert_ffc_generator)
+        conv = convert(state,
+                       n_downsampling=g.get("n_downsampling", 3),
+                       n_blocks=g.get("n_blocks", 9))
         # overlay converted weights on the init tree (keeps any missing leaves)
         import flax.traverse_util as tu
         flat = tu.flatten_dict(init_vars)

@@ -51,6 +51,11 @@ SHIFTS = [(sy, sx) for sy in (-1, 0, 1) for sx in (-1, 0, 1)]
 # shift (i=4) — 8 of the 81 planes are identically zero for every (H, W).
 # (Verified numerically for hw ∈ {8,16,32}; the interpret-mode parity
 # tests vs the XLA formulation would catch any violation.)
+# Parity caveat: skipping the zero planes also skips their NaN·0 products,
+# so parity with the XLA "fused" variant holds only up to NaN·0 absorption
+# on the skipped planes — a non-finite input channel reaching ONLY the
+# center tap could yield finite output here where fused yields NaN. For
+# finite inputs (the training contract) the two are identical.
 def _active(i: int, t: int) -> bool:
     return t != 4 or i == 4
 

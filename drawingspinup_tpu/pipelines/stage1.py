@@ -29,10 +29,27 @@ CONTOUR_THRESHOLD = 0.2  # reference predict.py:61
 INPAINT_RADIUS = 3       # reference predict.py:64
 
 
-def build_generator(cfg: Optional[Config] = None) -> FFCResNetGenerator:
-    """Instantiate the generator from a reference-style config subtree
-    (``configs/prediction/lama-fourier.yaml:4-23`` knobs)."""
+def build_generator(cfg: Optional[Config] = None):
+    """Instantiate the generator from a reference-style config subtree.
+
+    Dispatches on ``generator.kind`` like the reference's ``make_generator``
+    (``predict.py:30`` → ``modules/__init__.py:7-31``): ``ffc_resnet``
+    (``lama-fourier.yaml:4-23``) or ``pix2pixhd_global``
+    (``lama-regular.yaml:6-14``)."""
     g = (cfg or Config()).get("generator", Config())
+    kind = g.get("kind", "ffc_resnet")
+    if kind == "pix2pixhd_global":
+        from drawingspinup_tpu.models.pix2pixhd import GlobalGenerator
+        return GlobalGenerator(
+            output_nc=g.get("output_nc", 1),
+            ngf=g.get("ngf", 64),
+            n_downsampling=g.get("n_downsampling", 3),
+            n_blocks=g.get("n_blocks", 9),
+            conv_kind=g.get("conv_kind", "default"),
+            out_act=g.get("add_out_act", "sigmoid"),
+        )
+    if kind != "ffc_resnet":
+        raise ValueError(f"unsupported stage-1 generator kind: {kind!r}")
     return FFCResNetGenerator(
         output_nc=g.get("output_nc", 1),
         ngf=g.get("ngf", 64),

@@ -16,8 +16,9 @@ Arms:
   xla     the "fused" XLA einsum formulation (models/generator_j.py)
 
 Knobs:
-  DSU_RIC_TARGET_ROWS  rows per Pallas grid step (default 1024) — sweeps
-                       the grid-orchestration / VMEM-residency trade.
+  DSU_RIC_TARGET_ROWS  rows per Pallas grid step (default: see
+                       kernels/ric_conv.py::_TARGET_ROWS) — sweeps the
+                       grid-orchestration / VMEM-residency trade.
 
 Usage: python scripts/bench_ric_layers.py [step|fwd|both] [layer-substr]
 """

@@ -40,6 +40,11 @@ from drawingspinup_tpu.utils import diffusers_port as dp
 # whose param-tree containers are rebuilt (leaves shared; jax arrays are
 # immutable) so in-place loader writes can't corrupt the cache.
 _REAL_INIT = None  # bound after MV import below
+# Shares param array leaves across all tests in this module. Safe while jax
+# arrays stay immutable and containers are rebuilt per call — but a jitted
+# step with BUFFER DONATION on these params would invalidate the cached
+# leaves and poison later tests ("buffer deleted"). Donating tests must
+# deep-copy leaves (jnp.asarray(x).copy()) before donating.
 _INIT_CACHE: dict = {}
 
 
