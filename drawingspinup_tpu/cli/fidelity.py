@@ -116,6 +116,12 @@ def main(argv=None) -> int:
         if gifs:
             report["gif"] = {"files": gifs}
 
+    # degraded-weights modes hit while computing metrics in THIS process
+    # (e.g. random-VGG perceptual distance) — honesty marker for the report
+    from drawingspinup_tpu.core import weights_policy
+    if weights_policy.degradations():
+        report["degraded_weights"] = weights_policy.degradations()
+
     def sanitize(o):
         """inf/nan → strings: bare Infinity is not RFC JSON, and the
         exact-match case (PSNR = inf) is this tool's headline success."""

@@ -30,7 +30,20 @@ def main(argv=None) -> int:
                          "multi-chip dp mesh (256 rays/device at dp=8).")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--recon-overrides", nargs="*", default=[])
+    ap.add_argument("--allow-degraded-weights", action="store_true",
+                    help="run even when real pretrained weights (VGG19 "
+                         "perceptual, ...) are missing; by default a "
+                         "production sweep FAILS rather than silently "
+                         "training with random features")
     args = ap.parse_args(argv)
+
+    from drawingspinup_tpu.core import weights_policy
+    weights_policy.set_strict(not args.allow_degraded_weights)
+    if "train_style" in args.stages.split(","):
+        from drawingspinup_tpu.pipelines import stage3_translate as st
+        from drawingspinup_tpu.train import gan as gan_mod
+        cfg, _ = st.gan_config_from_yaml(st.DEFAULT_STAGE_CFGS[1])
+        gan_mod.resolve_vgg_npz(cfg)  # fail fast in strict mode
 
     if args.pin_chip is not None:
         # must happen BEFORE the backend initializes

@@ -17,11 +17,19 @@ def main(argv=None) -> int:
     ap.add_argument("--no_mask", action="store_true")
     ap.add_argument("--no_pos", action="store_true")
     ap.add_argument("--max-batches", type=int, default=None)
+    ap.add_argument("--allow-degraded-weights", action="store_true",
+                    help="train even without real VGG19 perceptual "
+                         "weights (random-feature loss); by default "
+                         "production training FAILS without them")
     args = ap.parse_args(argv)
+    from drawingspinup_tpu.core import weights_policy
+    weights_policy.set_strict(not args.allow_degraded_weights)
     from drawingspinup_tpu.pipelines import stage3_translate as st
     cfg, extras = st.gan_config_from_yaml(
         args.config or st.DEFAULT_STAGE_CFGS[2],
         use_mask=not args.no_mask, use_pos=not args.no_pos)
+    from drawingspinup_tpu.train import gan
+    gan.resolve_vgg_npz(cfg)  # fail fast in strict mode
     root = args.root or extras["root_dir"]
     st.train_stage(root, args.uid, 2, use_mask=not args.no_mask,
                    use_pos=not args.no_pos, cfg=cfg,

@@ -407,6 +407,7 @@ def background_removal(img: np.ndarray, bg_color: float = 1.0,
     if variables is not None:
         from drawingspinup_tpu.models.isnet import isnet_predict
         return isnet_predict(variables, img)
+    from drawingspinup_tpu.core import weights_policy
     onnx_path = os.environ.get("DSU_ISNET_ONNX")
     if onnx_path and os.path.exists(onnx_path):
         try:
@@ -421,8 +422,20 @@ def background_removal(img: np.ndarray, bg_color: float = 1.0,
             return np.asarray(Image.fromarray(
                 (m * 255).astype(np.uint8)).resize(img.shape[:2][::-1]),
                 np.float32) / 255.0
-        except Exception:
-            pass
+        except Exception as e:  # a corrupt onnx file must degrade LOUDLY
+            weights_policy.report_degraded(
+                "isnet-onnx",
+                f"DSU_ISNET_ONNX={onnx_path} failed to load/run "
+                f"({type(e).__name__}: {e}) — falling through to the "
+                "heuristic matte")
+    # heuristic matte: side-view masks are poorer than the reference's
+    # ISNet DIS segmentation (mv.py:134-151) — warn once + record so sweep
+    # JSONL / fidelity reports surface the degradation.
+    weights_policy.report_degraded(
+        "isnet",
+        "side-view background removal using the heuristic "
+        "background-distance matte (no ISNet weights — set DSU_ISNET_CKPT "
+        "to the torch/npz DIS checkpoint for reference-grade masks)")
     from scipy import ndimage
     dist = np.abs(img - bg_color).max(axis=-1)
     mask = dist > threshold

@@ -134,7 +134,14 @@ def run_sweep(root: str, uid_json: str,
                 # re-check instead of re-running (ADVICE r1)
                 if not (resume and stage_done(paths, stage)):
                     fn(uid)
-            logger.log(uid=uid, stage=stage, seconds=time.time() - st)
+            # surface degraded-weights modes (heuristic ISNet matte, random
+            # VGG, ...) in the run log — core/weights_policy.py
+            from drawingspinup_tpu.core import weights_policy
+            degraded = sorted({d["component"]
+                               for d in weights_policy.degradations()})
+            extra = {"degraded_weights": degraded} if degraded else {}
+            logger.log(uid=uid, stage=stage, seconds=time.time() - st,
+                       **extra)
             t_uid[uid] += time.time() - st
         except Exception as e:
             skip[uid] = stage

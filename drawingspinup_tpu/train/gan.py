@@ -108,6 +108,27 @@ def build_models(cfg: GANConfig, ric_variant: Optional[str] = None):
     return gen, disc, vgg
 
 
+def resolve_vgg_npz(cfg: GANConfig):
+    """Locate real VGG19 feature weights (cfg.vgg_npz → $DSU_VGG19_NPZ), or
+    report a fail-class degradation: the reference never trains without
+    frozen ImageNet VGG19 features (3_style_translator/training/
+    models.py:480-548), so without them the perceptual-loss landscape
+    changes. In strict mode (production CLIs — core/weights_policy.py)
+    missing weights RAISE unless --allow-degraded-weights; otherwise the
+    fixed-random-feature fallback is warned once and recorded."""
+    npz = cfg.vgg_npz or os.environ.get("DSU_VGG19_NPZ")
+    if npz and os.path.exists(npz):
+        return npz
+    from drawingspinup_tpu.core import weights_policy
+    weights_policy.report_degraded(
+        "gan-vgg19",
+        "perceptual loss running with FIXED RANDOM VGG features (no VGG19 "
+        "weights found — set DSU_VGG19_NPZ or GANConfig.vgg_npz to an npz "
+        "from scripts/export_vgg19_npz.py to match the reference's "
+        "ImageNet-VGG perceptual loss)", fail=True)
+    return None
+
+
 def make_optimizers(cfg: GANConfig):
     tx = optax.adamw(cfg.lr, b1=0.9, b2=0.999, weight_decay=cfg.weight_decay)
     return tx, tx
@@ -131,18 +152,11 @@ def init_state(cfg: GANConfig, key: jax.Array) -> GANState:
     # features (3_style_translator/training/models.py:480-548); without
     # them the perceptual loss uses fixed RANDOM features, which measurably
     # changes stylization — so the fallback is LOUD, not silent.
-    import sys
-    npz = cfg.vgg_npz or os.environ.get("DSU_VGG19_NPZ")
-    if npz and os.path.exists(npz):
+    npz = resolve_vgg_npz(cfg)
+    if npz:
         from drawingspinup_tpu.models.generator_j import load_vgg_weights_npz
         vgg_vars = load_vgg_weights_npz(dict(vgg_vars), npz)
         print(f"[gan] perceptual loss: real VGG19 weights from {npz}")
-    else:
-        print("WARNING: [gan] perceptual loss running with FIXED RANDOM VGG "
-              "features (no VGG19 weights found — set DSU_VGG19_NPZ or "
-              "GANConfig.vgg_npz to an npz from "
-              "scripts/export_vgg19_npz.py to match the reference's "
-              "ImageNet-VGG perceptual loss)", file=sys.stderr)
     g_tx, d_tx = make_optimizers(cfg)
     return GANState(
         g_params=g_vars["params"], g_stats=g_vars.get("batch_stats", {}),

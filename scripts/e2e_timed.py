@@ -147,6 +147,9 @@ def report(label, times):
 
 
 def main():
+    # bench context: no real VGG19/ISNet weights ship in this environment;
+    # timing is weight-independent (core/weights_policy.py opt-in)
+    os.environ.setdefault("DSU_ALLOW_DEGRADED_WEIGHTS", "1")
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/e2e_full")
     ap.add_argument("--skip-recon", action="store_true",
