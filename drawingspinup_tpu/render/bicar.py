@@ -13,6 +13,13 @@ Freestyle-like external-contour PNGs (soft alpha, width wobble, sketchy
 gaps — stage1_data.freestyle_contour) on the reference's k·5+1+rand(5)
 thickness ladder — a process pool is unnecessary (each object renders in
 milliseconds).
+
+Lighting: the reference renders Cycles under a UNIFORM white environment
+(strength 1.0, no directional lights — blenderProc_ortho.py:92-95), under
+which a diffuse surface returns ≈ albedo; this unlit vertex-color raster
+matches that up to ambient-occlusion darkening in concavities (deviation
+documented in PARITY.md §2.1 — a directional N·L pass would WIDEN the gap,
+so none is applied).
 """
 from __future__ import annotations
 
