@@ -20,6 +20,19 @@ def main(argv=None) -> int:
     ap.add_argument("--stages",
                     default="stage1,mv,recon,render,train_style,gif")
     ap.add_argument("--shard", default="0/1", help="index/num_shards")
+    ap.add_argument("--mode", choices=("throughput", "latency"),
+                    default=None,
+                    help="multi-chip strategy: 'throughput' shards UIDS "
+                         "across chips (one sweep process per chip via "
+                         "--pin-chip k --shard k/8 — uids are "
+                         "embarrassingly parallel; best min/char amortized "
+                         "over a batch); 'latency' runs EACH uid "
+                         "data-parallel over all local chips (fastest "
+                         "single character; sub-linear — the reference "
+                         "ray/patch budgets underfill 8 chips, see "
+                         "BASELINE.md single-character latency table). "
+                         "Default: throughput when --pin-chip is given, "
+                         "latency otherwise.")
     ap.add_argument("--pin-chip", type=int, default=None,
                     help="restrict this process to ONE local TPU chip "
                          "(sets TPU_VISIBLE_CHIPS before backend init). "
@@ -45,6 +58,15 @@ def main(argv=None) -> int:
         cfg, _ = st.gan_config_from_yaml(st.DEFAULT_STAGE_CFGS[1])
         gan_mod.resolve_vgg_npz(cfg)  # fail fast in strict mode
 
+    # mode/pin-chip consistency: 'throughput' = uid-sharded one-chip
+    # processes; 'latency' = every stage data-parallel over all local chips
+    # (the pipelines' n_devices>1 production paths engage automatically)
+    if args.mode == "throughput" and args.pin_chip is None:
+        ap.error("--mode throughput requires --pin-chip k (one sweep "
+                 "process per chip, --shard k/n)")
+    if args.mode == "latency" and args.pin_chip is not None:
+        ap.error("--mode latency uses ALL local chips per uid — drop "
+                 "--pin-chip")
     if args.pin_chip is not None:
         # must happen BEFORE the backend initializes
         os.environ["TPU_VISIBLE_CHIPS"] = str(args.pin_chip)

@@ -42,6 +42,16 @@ FOUR_VIEW_UIDS = {"b32e37e2f0354f569ea9265d753891f7",
                   "d2f443e21595431f9f2cd580f291f51b"}
 SIX_VIEWS = ["front", "front_right", "right", "back", "left", "front_left"]
 
+# DSU_PROFILE_EXPORT=1 → per-substep timing prints inside the export grid
+# eval (scripts/profile_grid_phase.py)
+_PROF_EXPORT = os.environ.get("DSU_PROFILE_EXPORT", "0") not in ("", "0")
+
+
+def _prof(tag: str, t0: float) -> float:
+    if _PROF_EXPORT:
+        print(f"[grid-prof] {tag}: {time.time() - t0:.2f}s", flush=True)
+    return time.time()
+
 
 def views_for_uid(uid: str) -> List[str]:
     if uid in TWO_VIEW_UIDS:
@@ -144,13 +154,22 @@ def eval_sdf_grid(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
     _grid = _grid_eval_fn(cfg.sdf, R, n_active)
 
     xs_full = np.linspace(vmin[0], vmax[0], R, dtype=np.float32)
+    # pad to EQUAL slab widths (last slab repeats the final plane): uneven
+    # np.array_split produced two program shapes per odd R (17- and 16-wide
+    # at R=129) — one extra cold program load for zero benefit (r5)
+    n_parts = min(8, R)
+    width = -(-R // n_parts)
+    pad = n_parts * width - R
+    xs_pad = np.concatenate([xs_full, np.repeat(xs_full[-1:], pad)]) \
+        if pad else xs_full
     vmin_j, vmax_j = jnp.asarray(vmin), jnp.asarray(vmax)
-    parts = []
-    for xs_part in np.array_split(xs_full, min(8, R)):
-        parts.append(np.asarray(_grid(params, level_mask,
-                                      jnp.asarray(xs_part), vmin_j, vmax_j),
-                                dtype=np.float32))
-    return np.concatenate(parts, axis=0).reshape(R, R, R)
+    # dispatch ALL slab programs before fetching any: async dispatch then
+    # overlaps program k+1's compute with program k's ~34 MB D2H (the
+    # blocking per-part form serialized compute→fetch→compute→fetch)
+    futs = [_grid(params, level_mask, jnp.asarray(xs_part), vmin_j, vmax_j)
+            for xs_part in xs_pad.reshape(n_parts, width)]
+    parts = [np.asarray(f, dtype=np.float32) for f in futs]
+    return np.concatenate(parts, axis=0)[:R].reshape(R, R, R)
 
 
 @lru_cache(maxsize=8)
@@ -225,7 +244,9 @@ def eval_sdf_grid_sparse(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
     assert band_cells >= 1.8, "band must cover the cell diagonal (√3)"
     nb = R // block
     rc = nb + 1
+    t0 = time.time()
     coarse = eval_sdf_grid(cfg, params, vmin, vmax, rc, step=step)
+    t0 = _prof("sparse: coarse eval", t0)
 
     cell_world = float(np.max((vmax - vmin) / (rc - 1)))
     band = band_cells * cell_world
@@ -239,11 +260,6 @@ def eval_sdf_grid_sparse(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
                     blk_min = np.minimum(
                         blk_min, a[dx:dx + nb, dy:dy + nb, dz:dz + nb])
     active = blk_min < band
-    # piecewise-constant fill from the cell's low corner (~1 s at 512³ vs
-    # ~8 s for a full trilinear upsample; sign-equivalent per the bound
-    # above). Fine values are scattered over it below.
-    grid = np.repeat(np.repeat(np.repeat(
-        coarse[:-1, :-1, :-1], block, 0), block, 1), block, 2)
     # dilate by one block (6-neighborhood) so the binary smoothing kernel
     # never straddles an exact/upsampled seam right at the surface
     d = active.copy()
@@ -252,26 +268,44 @@ def eval_sdf_grid_sparse(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
     # np.roll wraps; sdf is positive at the boundary shells so wrap-on is
     # harmless (only adds evaluations)
     ids = np.argwhere(d).astype(np.int32)                      # (K, 3)
-    if len(ids) == 0:
+    t0 = _prof(f"sparse: band select ({len(ids)} blocks)", t0)
+
+    # dispatch the fine launches BEFORE the big host fill below: the
+    # ~0.5 GB fill then overlaps the device's band evaluation instead of
+    # serializing ahead of it (grid-phase decomposition, r5)
+    futs = []
+    if len(ids):
+        level_mask = progressive_mask(cfg.sdf.grid, jnp.asarray(step))
+        n_active = min(cfg.sdf.grid.current_level(step),
+                       cfg.sdf.grid.n_levels)
+        cb = max(1, 262144 // block ** 3)                      # pts/launch
+        _eval = _block_eval_fn(cfg.sdf, R, block, cb, n_active)
+        pad = (-len(ids)) % cb
+        ids_p = np.concatenate([ids, np.repeat(ids[:1], pad, axis=0)],
+                               axis=0) if pad else ids
+        vmin_j, vmax_j = jnp.asarray(vmin), jnp.asarray(vmax)
+        futs = [_eval(params, level_mask, jnp.asarray(part), vmin_j, vmax_j)
+                for part in ids_p.reshape(-1, cb, 3)]
+        t0 = _prof(f"sparse: dispatch {len(futs)} fine launches", t0)
+
+    # piecewise-constant fill from the cell's low corner — only the SIGN
+    # matters off-band (sign-equivalent per the Lipschitz bound above).
+    # Single-pass broadcast materialization: the old repeat×3 chain wrote
+    # ~0.8 GB of intermediates for the same 0.5 GB result
+    grid = np.ascontiguousarray(np.broadcast_to(
+        coarse[:-1, None, :-1, None, :-1, None],
+        (nb, block, nb, block, nb, block))).reshape(R, R, R)
+    t0 = _prof("sparse: fill", t0)
+    if not futs:
         return grid
 
-    level_mask = progressive_mask(cfg.sdf.grid, jnp.asarray(step))
-    n_active = min(cfg.sdf.grid.current_level(step), cfg.sdf.grid.n_levels)
-    cb = max(1, 262144 // block ** 3)                          # pts/launch
-    _eval = _block_eval_fn(cfg.sdf, R, block, cb, n_active)
-
-    pad = (-len(ids)) % cb
-    ids_p = np.concatenate([ids, np.repeat(ids[:1], pad, axis=0)], axis=0) \
-        if pad else ids
-    vmin_j, vmax_j = jnp.asarray(vmin), jnp.asarray(vmax)
-    vals = []
-    for part in ids_p.reshape(-1, cb, 3):
-        vals.append(np.asarray(_eval(params, level_mask, jnp.asarray(part),
-                                     vmin_j, vmax_j), dtype=np.float32))
+    vals = [np.asarray(f, dtype=np.float32) for f in futs]
+    t0 = _prof("sparse: fetch fine launches", t0)
     vals = np.concatenate(vals, axis=0)[:len(ids)]             # (K, b³)
     gview = grid.reshape(nb, block, nb, block, nb, block)
     gview[ids[:, 0], :, ids[:, 1], :, ids[:, 2], :] = \
         vals.reshape(-1, block, block, block)
+    _prof("sparse: scatter", t0)
     return grid
 
 
@@ -283,18 +317,31 @@ def isosurface_level(cfg: nsr.NSRConfig, params, resolution: int = 512,
     (carve/march/remesh, ``isosurface_from_level``) is host-only, so a
     sweep can overlap it with the next uid's training."""
     r = cfg.radius
-    coarse_res = min(resolution, 128)
-    level = eval_sdf_grid(cfg, params, np.array([-r] * 3), np.array([r] * 3),
-                          coarse_res, step=step)
-    v_c, _ = extract_isosurface((level <= 0).astype(np.float32), sigma=1.0)
-    if len(v_c) == 0:
-        raise RuntimeError("empty isosurface (no negative SDF region)")
-    v_c = v_c / (coarse_res - 1) * 2 * r - r
-    vmin = np.clip(v_c.min(0) - (v_c.max(0) - v_c.min(0)) * 0.1, -r, r)
-    vmax = np.clip(v_c.max(0) + (v_c.max(0) - v_c.min(0)) * 0.1, -r, r)
-
     if sparse is None:
         sparse = resolution >= 256 and resolution % 4 == 0
+    # bbox pass resolution: when the sparse path will run, use ITS coarse
+    # resolution (R/4+1, e.g. 129 at mc512) so the bbox pass executes the
+    # SAME slab program as the sparse coarse pass — one fewer distinct
+    # device program to load cold (r5; extents are runtime inputs)
+    coarse_res = resolution // 4 + 1 if sparse else min(resolution, 128)
+    t0 = time.time()
+    level = eval_sdf_grid(cfg, params, np.array([-r] * 3), np.array([r] * 3),
+                          coarse_res, step=step)
+    t0 = _prof(f"bbox: coarse eval ({coarse_res})", t0)
+    # bbox of the (smoothed) negative region — the same support the old
+    # marching-tets extraction spanned, without building the coarse MESH
+    # (same sigma=1.0 gaussian suppresses single-voxel noise negatives)
+    from scipy.ndimage import gaussian_filter
+    neg = np.argwhere(gaussian_filter((level <= 0).astype(np.float32),
+                                      1.0) > 0.5)
+    if len(neg) == 0:
+        raise RuntimeError("empty isosurface (no negative SDF region)")
+    v_lo = neg.min(0) / (coarse_res - 1) * 2 * r - r
+    v_hi = neg.max(0) / (coarse_res - 1) * 2 * r - r
+    vmin = np.clip(v_lo - (v_hi - v_lo) * 0.1, -r, r).astype(np.float32)
+    vmax = np.clip(v_hi + (v_hi - v_lo) * 0.1, -r, r).astype(np.float32)
+    _prof("bbox: bounds", t0)
+
     if sparse:
         level = eval_sdf_grid_sparse(cfg, params, vmin, vmax, resolution,
                                      step=step)
@@ -515,18 +562,30 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
                   f"mask={float(logs['loss_mask']):.4f} "
                   f"inv_s={float(logs['inv_s']):.1f}")
     train_time = time.time() - t0
-    t0 = time.time()
-    ckpt_wait = None
-    if cfg.max_steps > start_step:
-        # async: the disk commit overlaps the export grid eval below
-        ckpt_wait = ckpt.save_async(ckpt.step_path(ckpt_root, cfg.max_steps),
-                                    {"params": state.params})
-    t_ckpt = time.time() - t0
 
-    # device half of the export: fine SDF grid (sparse surface-band).
-    # finally: the async checkpoint MUST commit even if the grid eval dies
-    # (force=True already superseded any prior ckpt at that path — an
-    # uncommitted save would break sweep resume)
+    # Checkpoint scheduling (r5): the save's params D2H used to start
+    # BEFORE the grid eval, contending with the grid's ~34 MB-per-program
+    # D2H on the single device tunnel (grid 14.7 s in-suite vs 10.4
+    # uncontended) and then billing its commit remainder inline (~9 s).
+    # Now a background thread starts AFTER the grid eval — D2H runs over an
+    # idle tunnel while the host-only march/remesh computes — and is
+    # settled at the end of the host tail. The reference contract is ONE
+    # save per run (neuralangelo-ortho-wmask.yaml every_n_train_steps =
+    # max_steps), so nothing else ever waits on it.
+    import threading
+    ckpt_info: Dict[str, object] = {"seconds": 0.0, "error": None}
+
+    def _ckpt_saver() -> None:
+        t0 = time.time()
+        try:
+            host_params = jax.device_get(state.params)
+            ckpt.save(ckpt.step_path(ckpt_root, cfg.max_steps),
+                      {"params": host_params})
+        except Exception as e:               # surfaced at settle time
+            ckpt_info["error"] = e
+        ckpt_info["seconds"] = time.time() - t0
+
+    ckpt_thread: Optional[threading.Thread] = None
     try:
         t0 = time.time()
         level, vmin, vmax = isosurface_level(cfg, state.params,
@@ -534,20 +593,30 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
                                              step=cfg.max_steps)
         t_grid = time.time() - t0
     finally:
-        if ckpt_wait is not None:
-            t0 = time.time()
-            if sys.exc_info()[0] is None:
-                ckpt_wait()
-            else:
-                # already unwinding the grid eval's exception: settle the
-                # commit but log-and-suppress its own failure so it cannot
-                # mask the original error (ADVICE r3)
-                try:
-                    ckpt_wait()
-                except Exception as e:       # noqa: BLE001
+        # the checkpoint MUST commit even if the grid eval dies (training
+        # would otherwise be lost / sweep resume broken)
+        if cfg.max_steps > start_step:
+            ckpt_thread = threading.Thread(target=_ckpt_saver)
+            ckpt_thread.start()
+            if sys.exc_info()[0] is not None:
+                # unwinding: settle now; the saver never raises (error is
+                # stashed), so the original exception propagates untouched
+                ckpt_thread.join()
+                if ckpt_info["error"] is not None:
                     print(f"[recon] checkpoint commit failed while "
-                          f"unwinding another error: {e!r}")
-            t_ckpt += time.time() - t0
+                          f"unwinding another error: {ckpt_info['error']!r}")
+
+    def settle_ckpt() -> float:
+        """Join the overlapped checkpoint commit; returns wall seconds it
+        still cost on the critical path (0 when fully hidden)."""
+        if ckpt_thread is None:
+            return 0.0
+        t0 = time.time()
+        ckpt_thread.join()
+        if ckpt_info["error"] is not None:
+            raise RuntimeError("checkpoint commit failed") \
+                from ckpt_info["error"]      # mesh is already on disk
+        return time.time() - t0
 
     front_color = read_image(paths.mv("color", "front"))[..., :3] \
         if color_back_projection else None
@@ -596,10 +665,13 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
             color_back_projection=color_back_projection, shearing=shearing,
             ortho_scale=ortho_scale, export_uv=export_uv)
         t_save = time.time() - t1
+        t_ckpt_wall = settle_ckpt()          # usually 0: hidden under march
         print(f"[recon {uid}] trained {cfg.max_steps} steps in "
               f"{train_time:.1f}s → {out_path}\n"
               f"[recon {uid}] phases: data+hull {t_data:.1f}s  "
-              f"ckpt {t_ckpt:.1f}s  grid {t_grid:.1f}s  "
+              f"ckpt {t_ckpt_wall:.1f}s (overlapped, "
+              f"{float(ckpt_info['seconds']):.1f}s total)  "
+              f"grid {t_grid:.1f}s  "
               f"march+remesh {t_march:.1f}s  save_mesh {t_save:.1f}s")
         return out_path
 
