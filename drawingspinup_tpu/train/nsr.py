@@ -95,7 +95,12 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def init_params(cfg: NSRConfig, key: jax.Array) -> Dict[str, Any]:
+    """Jitted: ONE device program. Eager init dispatched ~100 tiny ops
+    through the tunnel, each paying its own per-process first-execution
+    load — a cold-start tax on every fresh recon process (PERF_NOTES
+    'per-process first-execution cost')."""
     k1, k2 = jax.random.split(key)
     return {
         "geometry": init_sdf_field(cfg.sdf, k1),

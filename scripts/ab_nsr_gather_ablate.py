@@ -115,19 +115,31 @@ def time_arm(cfg, data, label, laps=7, iters=12):
     return med
 
 
+def stopgrad_level_interp(tab, px, py, pz, r, cfg, with_grad):
+    """Real gathers, no table backward: isolates the forward gather cost
+    (A − C = backward scatter+transpose, C − B = forward gather)."""
+    return REAL_INTERP(jax.lax.stop_gradient(tab), px, py, pz, r, cfg,
+                       with_grad)
+
+
 def main():
     cfg = production_cfg()
     data = make_sphere_dataset(size=1024)
     a = time_arm(cfg, data, "A: production step (real gathers)")
-    hashgrid._level_interp = fake_level_interp
-    jax.clear_caches()
     try:
+        hashgrid._level_interp = stopgrad_level_interp
+        jax.clear_caches()
+        c = time_arm(cfg, data, "C: stop-grad tables (fwd gathers only)")
+        hashgrid._level_interp = fake_level_interp
+        jax.clear_caches()
         b = time_arm(cfg, data, "B: gather-free broadcast rows")
     finally:
         hashgrid._level_interp = REAL_INTERP
         jax.clear_caches()
-    print(f"gather+scatter+widen share: {a - b:.1f} ms "
-          f"({(a - b) / a:.0%} of the {a:.1f} ms step)")
+    print(f"gather+scatter share: {a - b:.1f} ms "
+          f"({(a - b) / a:.0%} of the {a:.1f} ms step); "
+          f"forward gathers {c - b:.1f} ms, "
+          f"backward scatter+transpose {a - c:.1f} ms")
 
 
 if __name__ == "__main__":

@@ -133,20 +133,24 @@ def timed(fn, tab, idx, label, n=10, laps=5):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("arm", choices=("xla", "vmemds", "rowdma"))
+    ap.add_argument("--big", action="store_true")
+    ap.add_argument("--k", type=int, default=262144)
+    args = ap.parse_args()
     rng = np.random.default_rng(0)
-    K = 262144
-    for T, kinds in ((74 ** 3, ("xla", "vmemds", "rowdma")),
-                     (129 ** 3, ("xla", "rowdma"))):
-        tab = jnp.asarray(rng.standard_normal((T, C)), jnp.bfloat16)
-        idx = jnp.asarray(rng.integers(0, T, K), jnp.int32)
-        print(f"--- table ({T}, {C}) bf16 = {T * C * 2 / 1e6:.0f} MB, "
-              f"K={K} ---")
-        for kind in kinds:
-            if kind == "xla":
-                timed(xla_gather, tab, idx, "xla row gather")
-            else:
-                timed(functools.partial(pallas_gather, kind=kind), tab, idx,
-                      f"pallas {kind}")
+    K = args.k
+    T = 129 ** 3 if args.big else 74 ** 3
+    tab = jnp.asarray(rng.standard_normal((T, C)), jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, T, K), jnp.int32)
+    print(f"--- table ({T}, {C}) bf16 = {T * C * 2 / 1e6:.0f} MB, K={K} ---",
+          flush=True)
+    if args.arm == "xla":
+        timed(xla_gather, tab, idx, "xla row gather")
+    else:
+        timed(functools.partial(pallas_gather, kind=args.arm), tab, idx,
+              f"pallas {args.arm}")
 
 
 if __name__ == "__main__":
