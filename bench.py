@@ -287,9 +287,12 @@ def bench_recon_stage() -> dict:
 
 
 def bench_export_tail() -> float:
-    """Host half of the mesh export at production scale: binary smoothing +
-    marching tetrahedra + quadric remesh to 50k faces over a 512³ field
-    (native/march.cc + decimate.cc fast path). Seconds, lower is better."""
+    """Host half of the mesh export at production scale over a 512³ field:
+    the device-smooth path's u8 march + quadric remesh to 50k faces
+    (native/march.cc u8 fast path + decimate.cc — the r5 production tail;
+    carve/smoothing now run on device). Seconds, lower is better."""
+    from scipy.ndimage import gaussian_filter
+
     from drawingspinup_tpu.render import marching, mesh_post
 
     n = 512
@@ -297,11 +300,12 @@ def bench_export_tail() -> float:
     xx, yy, zz = np.meshgrid(x, x, x, indexing="ij")
     f = np.maximum(0.32 - np.sqrt(xx ** 2 + yy ** 2 + zz ** 2),
                    0.03 - np.abs(yy) - np.abs(0.3 - np.sqrt(xx ** 2 + zz ** 2)))
-    binary = f > 0
+    smoothed_u8 = np.round(np.clip(gaussian_filter(
+        (f > 0).astype(np.float32), 1.0), 0, 1) * 255).astype(np.uint8)
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        v, fc = marching.extract_isosurface(binary, sigma=1.0)
+        v, fc = marching.marching_tetrahedra(smoothed_u8, 0.5)
         v, fc = mesh_post.remesh(v, fc, 50000)
         best = min(best, time.perf_counter() - t0)
     assert len(fc) <= 50000

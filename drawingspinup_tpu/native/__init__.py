@@ -61,6 +61,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 lib.dsu_march_tets_run.restype = i64
                 lib.dsu_march_tets_fetch.argtypes = [i64, f32p, i32p]
                 lib.dsu_march_tets_fetch.restype = None
+                u8p = ctypes.POINTER(ctypes.c_uint8)
+                lib.dsu_march_tets_run_u8.argtypes = [
+                    u8p, ci, ctypes.c_float,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64)]
+                lib.dsu_march_tets_run_u8.restype = i64
                 lib.dsu_decimate_fast.argtypes = [f32p, ci, i32p, ci, ci,
                                                   f32p, i32p, i32p, i32p]
                 lib.dsu_decimate_fast.restype = ci
@@ -183,14 +189,23 @@ def march_tets(field: np.ndarray, level: float):
     Returns (verts (V,3) float32 index coords, faces (F,3) int64)."""
     lib = _load()
     assert lib is not None, "native library unavailable"
-    f = np.ascontiguousarray(field, np.float32)
-    n = f.shape[0]
-    assert f.shape == (n, n, n)
+    n = field.shape[0]
+    assert field.shape == (n, n, n)
     nv = ctypes.c_int64(0)
     nf = ctypes.c_int64(0)
-    h = lib.dsu_march_tets_run(
-        f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
-        ctypes.c_float(level), ctypes.byref(nv), ctypes.byref(nf))
+    if field.dtype == np.uint8:
+        # u8 field marched directly (edge interpolation is affine-
+        # invariant; caller passes level in u8 units) — skips a 0.5 GB
+        # host f32 materialization on the device-smooth export path
+        f = np.ascontiguousarray(field)
+        h = lib.dsu_march_tets_run_u8(
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+            ctypes.c_float(level), ctypes.byref(nv), ctypes.byref(nf))
+    else:
+        f = np.ascontiguousarray(field, np.float32)
+        h = lib.dsu_march_tets_run(
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+            ctypes.c_float(level), ctypes.byref(nv), ctypes.byref(nf))
     verts = np.empty((nv.value, 3), np.float32)
     faces = np.empty((nf.value, 3), np.int32)
     lib.dsu_march_tets_fetch(

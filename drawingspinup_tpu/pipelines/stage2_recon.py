@@ -196,21 +196,25 @@ def _grid_eval_fn(sdf_cfg, R: int, n_active: int):
 
 
 @lru_cache(maxsize=8)
-def _block_eval_fn(sdf_cfg, R: int, block: int, cells_per_launch: int,
+def _block_eval_fn(sdf_cfg, block: int, cells_per_launch: int,
                    n_active: int):
     """Jitted sparse-block evaluator: (CB,3) int block ids → (CB, b³) sdf.
     Fine coordinates are generated IN-GRAPH from the block ids, so each
     launch uploads ~CB·12 bytes instead of CB·b³·12 (the tunnel's H2D
-    bandwidth is the constraint, PERF_NOTES.md)."""
+    bandwidth is the constraint, PERF_NOTES.md). The grid spacing is a
+    RUNTIME input (inv_denom = 1/(R−1)), so ONE program serves both the
+    fine grid and the coarse passes — the remote service reloads each
+    program once per uid (~8 s for the slab evaluator, r5 profile), so
+    fewer distinct programs is wall time, not just cold start."""
 
     @jax.jit
-    def _eval(params, level_mask, block_ids, vmin, vmax):
+    def _eval(params, level_mask, block_ids, vmin, vmax, inv_denom):
         b = block
         offs = jnp.stack(jnp.meshgrid(jnp.arange(b), jnp.arange(b),
                                       jnp.arange(b), indexing="ij"),
                          axis=-1).reshape(-1, 3)               # (b³, 3)
         idx = block_ids[:, None, :] * b + offs[None, :, :]     # (CB, b³, 3)
-        t = idx.astype(jnp.float32) / (R - 1)
+        t = idx.astype(jnp.float32) * inv_denom
         pts = (vmin[None, None, :]
                + t * (vmax - vmin)[None, None, :]).reshape(-1, 3)
         sdf, _ = sdf_forward(sdf_cfg, params["geometry"], pts, level_mask,
@@ -218,6 +222,38 @@ def _block_eval_fn(sdf_cfg, R: int, block: int, cells_per_launch: int,
         return sdf.reshape(cells_per_launch, b ** 3).astype(jnp.bfloat16)
 
     return _eval
+
+
+def eval_sdf_grid_blocks(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
+                         vmax: np.ndarray, resolution: int,
+                         step: int = 10 ** 9, block: int = 4) -> np.ndarray:
+    """Full (res³) SDF grid THROUGH THE BLOCK EVALUATOR — the same device
+    program the sparse fine pass uses (one program per uid instead of
+    slab + block). Evaluates ceil(res/b)³ blocks and crops; host
+    reassembly is ~10 MB at the coarse resolutions this serves."""
+    b = block
+    nbk = -(-resolution // b)
+    ids = np.stack(np.meshgrid(np.arange(nbk), np.arange(nbk),
+                               np.arange(nbk), indexing="ij"),
+                   axis=-1).reshape(-1, 3).astype(np.int32)
+    level_mask = progressive_mask(cfg.sdf.grid, jnp.asarray(step))
+    n_active = min(cfg.sdf.grid.current_level(step), cfg.sdf.grid.n_levels)
+    cb = max(1, 262144 // b ** 3)
+    _eval = _block_eval_fn(cfg.sdf, b, cb, n_active)
+    pad = (-len(ids)) % cb
+    ids_p = np.concatenate([ids, np.repeat(ids[:1], pad, axis=0)]) \
+        if pad else ids
+    inv_denom = jnp.float32(1.0 / (resolution - 1))
+    vmin_j, vmax_j = jnp.asarray(vmin), jnp.asarray(vmax)
+    futs = [_eval(params, level_mask, jnp.asarray(part), vmin_j, vmax_j,
+                  inv_denom)
+            for part in ids_p.reshape(-1, cb, 3)]
+    vals = np.concatenate([np.asarray(f, dtype=np.float32) for f in futs]
+                          )[:len(ids)]
+    grid = vals.reshape(nbk, nbk, nbk, b, b, b).transpose(
+        0, 3, 1, 4, 2, 5).reshape(nbk * b, nbk * b, nbk * b)
+    return np.ascontiguousarray(
+        grid[:resolution, :resolution, :resolution])
 
 
 def eval_sdf_grid_sparse(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
@@ -279,12 +315,14 @@ def eval_sdf_grid_sparse(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
         n_active = min(cfg.sdf.grid.current_level(step),
                        cfg.sdf.grid.n_levels)
         cb = max(1, 262144 // block ** 3)                      # pts/launch
-        _eval = _block_eval_fn(cfg.sdf, R, block, cb, n_active)
+        _eval = _block_eval_fn(cfg.sdf, block, cb, n_active)
         pad = (-len(ids)) % cb
         ids_p = np.concatenate([ids, np.repeat(ids[:1], pad, axis=0)],
                                axis=0) if pad else ids
         vmin_j, vmax_j = jnp.asarray(vmin), jnp.asarray(vmax)
-        futs = [_eval(params, level_mask, jnp.asarray(part), vmin_j, vmax_j)
+        inv_denom = jnp.float32(1.0 / (R - 1))
+        futs = [_eval(params, level_mask, jnp.asarray(part), vmin_j, vmax_j,
+                      inv_denom)
                 for part in ids_p.reshape(-1, cb, 3)]
         t0 = _prof(f"sparse: dispatch {len(futs)} fine launches", t0)
 
@@ -309,28 +347,213 @@ def eval_sdf_grid_sparse(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
     return grid
 
 
-def isosurface_level(cfg: nsr.NSRConfig, params, resolution: int = 512,
-                     step: int = 10 ** 9, sparse: Optional[bool] = None
-                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """The DEVICE half of the export: coarse pass → bbox → fine SDF grid.
-    Returns (level (R³ float32), vmin, vmax). The remaining work
-    (carve/march/remesh, ``isosurface_from_level``) is host-only, so a
-    sweep can overlap it with the next uid's training."""
+@lru_cache(maxsize=8)
+def _smooth_pack_fn(R: int, block: int, kpad: int, sigma: float = 1.0,
+                    radius: int = 4):
+    """Jitted device program: sparse grid pieces → carved, gaussian-
+    smoothed occupancy, quantized u8 (VERDICT r4 next #2, r5).
+
+    Replaces the HOST half of the old export chain — 0.5 GB fill +
+    scatter + binary astype + scipy gaussian (5-15 s on the 1-core host)
+    — with device ops on data that is already there, shipping ONE
+    (R,R,R) u8 D2H instead of raw block values. Marching consumes
+    u8/255 directly; u8 quantization moves crossing vertices ≤ 0.2% of
+    a cell (the gaussian is itself an approximation of mcubes.smooth,
+    PARITY.md).
+
+    Boundary semantics: symmetric padding per axis — exactly scipy
+    gaussian_filter's default 'reflect' mode (numpy 'symmetric'), so the
+    device path matches the host chain even when occupancy touches a
+    bbox face (equivalence-tested in tests/test_stage2_pipeline.py)."""
+    ks = np.arange(-radius, radius + 1, dtype=np.float32)
+    w = np.exp(-0.5 * (ks / sigma) ** 2)
+    w = w / w.sum()
+    # banded smoothing operator WITH the symmetric boundary folded in:
+    # y[r] = Σ_k w[k] x[sym(r+k−radius)] — the 9-tap conv as ONE dense
+    # (R,R) MXU matmul per axis (~140 GFLOP at R=512, ms-scale). No
+    # jnp.pad: the symmetric-pad (and every conv/transpose) lowering
+    # materialized a 73 GB [A,B,8,68,1] fusion on this toolchain.
+    S = np.zeros((R, R), np.float32)           # [input p, output r]
+    for r in range(R):
+        for k in range(2 * radius + 1):
+            p = r + k - radius
+            if p < 0:
+                p = -p - 1                     # scipy 'reflect' (symmetric)
+            elif p >= R:
+                p = 2 * R - 1 - p
+            S[p, r] += w[k]
+    S2 = jnp.asarray(S.T)                      # (R out, R in), left operand
+    nb = R // block
+    # block-replication operator: E[r, b] = 1 ⟺ r // block == b — the
+    # coarse fill cell→voxel expansion as a left-GEMM (conv_transpose was
+    # the 73 GB fusion's true source)
+    E = jnp.asarray((np.arange(R)[:, None] // block
+                     == np.arange(nb)[None, :]).astype(np.float32))
+
+    @jax.jit
+    def _run(coarse, ids, vals, crop):
+        # occupancy from the piecewise-constant coarse fill, overridden by
+        # the evaluated band blocks (sign-equivalent off-band — the same
+        # Lipschitz argument as eval_sdf_grid_sparse).
+        # LAYOUT RULE (cost of violating: 16 GB): every (R³)-scale tensor
+        # must keep a ≥128 trailing dim — a (nb,4,nb,4,nb,4) scatter
+        # target tiles its trailing 4s at 32× padding. The fill therefore
+        # runs as a stride-4 transposed conv (streamed), and the block
+        # override scatters 4³ WINDOWS into the (R,R,R) spatial layout.
+        cell = (coarse[:-1, :-1, :-1] <= 0).astype(jnp.float32)
+        # cell (nb,nb,nb) → (R,R,R): three rotating left-GEMMs with the
+        # replication operator (same rotation identity as the smoothing
+        # passes below — three last-axis expansions restore axis order)
+        base = cell                              # (nb, nb, nb) → (R, R, R)
+        for _ in range(3):
+            a, b, c = base.shape
+            y = jax.lax.dot_general(E, base.reshape(a * b, c),
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            base = y.reshape(R, a, b)
+        bs = (vals <= 0).astype(jnp.float32).reshape(
+            kpad, block, block, block)
+        dnums = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2, 3), inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0, 1, 2))
+        x = jax.lax.scatter(
+            base, ids * block, bs, dnums,
+            indices_are_sorted=False, unique_indices=False,
+            mode=jax.lax.GatherScatterMode.CLIP)
+        x = x * (crop[:, None, :] > 0.5)          # front-mask carve
+        # separable gaussian as three banded MXU contractions over
+        # symmetric padding (== scipy 'reflect'). Every prior form blew
+        # up HBM at mc512: a slice-sum materialized 27 (R³) temporaries
+        # (32 GB); the batched-1D conv, moveaxis+matmul, and any
+        # dot_general contracting a NON-MINOR axis all produced the same
+        # 73 GB transpose/conv fusion. The one clean shape is both
+        # operands contracting their MINOR dims: y = S2 (R, R+2r) ·
+        # xp (A, B, R+2r) → (r, A, B). Each pass thereby ROTATES the
+        # axes forward, and three passes (z, then y, then x — always the
+        # current last axis) restore the original (x, y, z) order with
+        # zero transposes.
+        # three boundary-folded band GEMMs, each contracting the CURRENT
+        # last axis from the left: output axes rotate forward, so three
+        # passes (z, y, x) restore the original (x, y, z) order with zero
+        # transposes and zero pads.
+        for _ in range(3):
+            y = jax.lax.dot_general(S2, x.reshape(R * R, R),
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            x = y.reshape(R, R, R)
+        return jnp.round(x * 255.0).astype(jnp.uint8)
+
+    return _run
+
+
+def front_crop(front_mask: np.ndarray, vmin: np.ndarray, vmax: np.ndarray,
+               resolution: int) -> np.ndarray:
+    """The [x, z] carve mask resampled to the fine grid's bbox (reference
+    geometry.py mask crop semantics; shared by the host and device export
+    paths)."""
+    size = front_mask.shape[0] / 2
+    x0 = int(np.floor(vmin[0] * size + size))
+    x1 = int(np.ceil(vmax[0] * size + size))
+    z0 = int(np.floor(vmin[2] * size + size))
+    z1 = int(np.ceil(vmax[2] * size + size))
+    crop = front_mask[max(x0, 0):x1, max(z0, 0):z1]
+    from PIL import Image
+    return np.asarray(Image.fromarray(
+        (np.clip(crop, 0, 1) * 255).astype(np.uint8)).resize(
+        (resolution, resolution), Image.BICUBIC), np.float32)
+
+
+def eval_smoothed_grid_sparse(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
+                              vmax: np.ndarray, resolution: int,
+                              step: int = 10 ** 9,
+                              front_mask: Optional[np.ndarray] = None,
+                              block: int = 4, band_cells: float = 2.0
+                              ) -> np.ndarray:
+    """Device-side variant of ``eval_sdf_grid_sparse`` + carve + smooth:
+    returns the QUANTIZED SMOOTHED occupancy (R,R,R) u8 (field = u8/255,
+    march at 0.5) with the fine-block values never leaving the device."""
+    R = resolution
+    assert R % block == 0, (R, block)
+    nb = R // block
+    rc = nb + 1
+    t0 = time.time()
+    # coarse grid through the BLOCK evaluator: the device-smooth path then
+    # uses ONE field program per uid (the slab evaluator's per-uid service
+    # reload measured ~8 s, r5 profile)
+    coarse = eval_sdf_grid_blocks(cfg, params, vmin, vmax, rc, step=step)
+    t0 = _prof("dsmooth: coarse eval", t0)
+
+    cell_world = float(np.max((vmax - vmin) / (rc - 1)))
+    band = band_cells * cell_world
+    a = np.abs(coarse)
+    blk_min = a[:-1, :-1, :-1]
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                if dx or dy or dz:
+                    blk_min = np.minimum(
+                        blk_min, a[dx:dx + nb, dy:dy + nb, dz:dz + nb])
+    active = blk_min < band
+    d = active.copy()
+    for axis in range(3):
+        d |= np.roll(active, 1, axis=axis) | np.roll(active, -1, axis=axis)
+    ids = np.argwhere(d).astype(np.int32)
+    t0 = _prof(f"dsmooth: band select ({len(ids)} blocks)", t0)
+
+    level_mask = progressive_mask(cfg.sdf.grid, jnp.asarray(step))
+    n_active = min(cfg.sdf.grid.current_level(step), cfg.sdf.grid.n_levels)
+    cb = max(1, 262144 // block ** 3)
+    _eval = _block_eval_fn(cfg.sdf, block, cb, n_active)
+    # bucket the block count so _smooth_pack_fn compiles per BUCKET, not
+    # per uid (character active fractions vary a little run to run)
+    bucket = 16384
+    kpad = max(cb, ((len(ids) + bucket - 1) // bucket) * bucket)
+    ids_p = np.concatenate(
+        [ids, np.repeat(ids[:1] if len(ids) else
+                        np.zeros((1, 3), np.int32), kpad - len(ids), axis=0)])
+    vmin_j, vmax_j = jnp.asarray(vmin), jnp.asarray(vmax)
+    inv_denom = jnp.float32(1.0 / (R - 1))
+    futs = [_eval(params, level_mask, jnp.asarray(part), vmin_j, vmax_j,
+                  inv_denom)
+            for part in ids_p.reshape(-1, cb, 3)]
+    t0 = _prof(f"dsmooth: dispatch {len(futs)} fine launches", t0)
+
+    crop = front_crop(front_mask, vmin, vmax, R) / 255.0 \
+        if front_mask is not None else np.ones((R, R), np.float32)
+    vals_dev = jnp.concatenate(futs, axis=0).astype(jnp.float32)
+    smooth = _smooth_pack_fn(R, block, kpad)
+    out = smooth(jnp.asarray(coarse), jnp.asarray(ids_p), vals_dev,
+                 jnp.asarray(crop))
+    if _PROF_EXPORT:
+        np.asarray(out[:1, :1, :1])           # sync: isolates exec vs D2H
+        t0 = _prof("dsmooth: smooth+pack exec", t0)
+    out_np = np.asarray(out)
+    _prof("dsmooth: fetch u8 field", t0)
+    return out_np
+
+
+def _bbox_pass(cfg: nsr.NSRConfig, params, resolution: int, step: int,
+               sparse: bool, use_blocks: bool = False
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Coarse full-extent pass → (vmin, vmax) of the smoothed negative
+    region + 10% margin (the same support the old marching-tets bbox
+    extraction spanned, without building the coarse MESH).
+
+    use_blocks: evaluate through the BLOCK program (the device-smooth
+    path's only field-eval program — the slab evaluator would otherwise
+    pay its ~8 s per-uid service reload just for this pass)."""
     r = cfg.radius
-    if sparse is None:
-        sparse = resolution >= 256 and resolution % 4 == 0
-    # bbox pass resolution: when the sparse path will run, use ITS coarse
-    # resolution (R/4+1, e.g. 129 at mc512) so the bbox pass executes the
-    # SAME slab program as the sparse coarse pass — one fewer distinct
-    # device program to load cold (r5; extents are runtime inputs)
+    # bbox pass resolution: match the sparse path's coarse resolution
+    # (R/4+1, e.g. 129 at mc512) so both passes execute the SAME program
     coarse_res = resolution // 4 + 1 if sparse else min(resolution, 128)
     t0 = time.time()
-    level = eval_sdf_grid(cfg, params, np.array([-r] * 3), np.array([r] * 3),
-                          coarse_res, step=step)
+    lo, hi = np.array([-r] * 3, np.float32), np.array([r] * 3, np.float32)
+    if use_blocks:
+        level = eval_sdf_grid_blocks(cfg, params, lo, hi, coarse_res,
+                                     step=step)
+    else:
+        level = eval_sdf_grid(cfg, params, lo, hi, coarse_res, step=step)
     t0 = _prof(f"bbox: coarse eval ({coarse_res})", t0)
-    # bbox of the (smoothed) negative region — the same support the old
-    # marching-tets extraction spanned, without building the coarse MESH
-    # (same sigma=1.0 gaussian suppresses single-voxel noise negatives)
     from scipy.ndimage import gaussian_filter
     neg = np.argwhere(gaussian_filter((level <= 0).astype(np.float32),
                                       1.0) > 0.5)
@@ -341,6 +564,54 @@ def isosurface_level(cfg: nsr.NSRConfig, params, resolution: int = 512,
     vmin = np.clip(v_lo - (v_hi - v_lo) * 0.1, -r, r).astype(np.float32)
     vmax = np.clip(v_hi + (v_hi - v_lo) * 0.1, -r, r).astype(np.float32)
     _prof("bbox: bounds", t0)
+    return vmin, vmax
+
+
+def isosurface_device(cfg: nsr.NSRConfig, params, resolution: int = 512,
+                      step: int = 10 ** 9,
+                      front_mask: Optional[np.ndarray] = None
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Device-smooth export front half: bbox → sparse fine eval → carve +
+    gaussian smooth + u8 quantize ON DEVICE. Returns (smoothed_u8, vmin,
+    vmax); feed to ``isosurface_from_smoothed``. Requires the sparse-path
+    resolution contract (R ≥ 256, R % 4 == 0)."""
+    vmin, vmax = _bbox_pass(cfg, params, resolution, step, sparse=True,
+                            use_blocks=True)
+    smoothed = eval_smoothed_grid_sparse(cfg, params, vmin, vmax, resolution,
+                                         step=step, front_mask=front_mask)
+    return smoothed, vmin, vmax
+
+
+def isosurface_from_smoothed(smoothed_u8: np.ndarray, vmin: np.ndarray,
+                             vmax: np.ndarray, resolution: int,
+                             face_count: int = 50000,
+                             remeshing: bool = True
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host half of the device-smooth path: march the quantized smoothed
+    field (carve + smooth already applied on device) + quadric remesh."""
+    t0 = time.time()
+    from drawingspinup_tpu.render.marching import marching_tetrahedra
+    # u8 marched natively without a 0.5 GB f32 conversion (levels rescale)
+    verts, faces = marching_tetrahedra(smoothed_u8, 0.5)
+    t0 = _prof(f"march: tets ({len(faces)} faces)", t0)
+    verts = verts / (resolution - 1)
+    verts = vmin[None, :] + verts * (vmax - vmin)[None, :]
+    if remeshing and len(faces) > face_count:
+        verts, faces = mesh_post.remesh(verts, faces, face_count)
+    _prof(f"march: remesh (→{len(faces)})", t0)
+    return verts, faces
+
+
+def isosurface_level(cfg: nsr.NSRConfig, params, resolution: int = 512,
+                     step: int = 10 ** 9, sparse: Optional[bool] = None
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The DEVICE half of the export: coarse pass → bbox → fine SDF grid.
+    Returns (level (R³ float32), vmin, vmax). The remaining work
+    (carve/march/remesh, ``isosurface_from_level``) is host-only, so a
+    sweep can overlap it with the next uid's training."""
+    if sparse is None:
+        sparse = resolution >= 256 and resolution % 4 == 0
+    vmin, vmax = _bbox_pass(cfg, params, resolution, step, sparse)
 
     if sparse:
         level = eval_sdf_grid_sparse(cfg, params, vmin, vmax, resolution,
@@ -357,6 +628,7 @@ def isosurface_from_level(level: np.ndarray, vmin: np.ndarray,
                           ) -> Tuple[np.ndarray, np.ndarray]:
     """Host half: front-mask carving, binary smoothing + marching
     tetrahedra, quadric remesh."""
+    t0 = time.time()
     binary = (level <= 0)
     if front_mask is not None:
         size = front_mask.shape[0] / 2
@@ -371,12 +643,19 @@ def isosurface_from_level(level: np.ndarray, vmin: np.ndarray,
             (resolution, resolution), Image.BICUBIC), np.float32)
         # broadcast, don't tile: np.tile materialized a second res³ bool
         binary = binary & (crop[:, None, :] > 127)
+    t0 = _prof("march: carve", t0)
 
-    verts, faces = extract_isosurface(binary.astype(np.float32), sigma=1.0)
+    from drawingspinup_tpu.render.marching import smooth_binary
+    smoothed = smooth_binary(binary.astype(np.float32), 1.0)
+    t0 = _prof("march: smooth", t0)
+    from drawingspinup_tpu.render.marching import marching_tetrahedra
+    verts, faces = marching_tetrahedra(smoothed, 0.5)
+    t0 = _prof(f"march: tets ({len(faces)} faces)", t0)
     verts = verts / (resolution - 1)
     verts = vmin[None, :] + verts * (vmax - vmin)[None, :]
     if remeshing and len(faces) > face_count:
         verts, faces = mesh_post.remesh(verts, faces, face_count)
+    _prof(f"march: remesh (→{len(faces)})", t0)
     return verts, faces
 
 
@@ -473,10 +752,16 @@ def prewarm(cfg: nsr.NSRConfig, im_size: int = 1024,
         else:
             state2, logs = nsr.train_step(cfg, tx, state, data, key,
                                           n_active=n_active)
-    # export grid programs (coarse + surface-band fine blocks) on the
-    # sphere-initialized SDF — realistic occupancy, same program shapes
-    isosurface_level(cfg, state.params, resolution=mc_resolution,
-                     step=cfg.max_steps)
+    # export grid programs (coarse + surface-band fine blocks [+ the
+    # device smooth/pack]) on the sphere-initialized SDF — realistic
+    # occupancy, same program shapes as the production export path
+    if (mc_resolution >= 256 and mc_resolution % 4 == 0
+            and os.environ.get("DSU_DEVICE_SMOOTH", "1") not in ("", "0")):
+        isosurface_device(cfg, state.params, resolution=mc_resolution,
+                          step=cfg.max_steps)
+    else:
+        isosurface_level(cfg, state.params, resolution=mc_resolution,
+                         step=cfg.max_steps)
     float(logs["loss"])          # settle the queue
     dt = time.time() - t0
     print(f"[recon] prewarm: programs loaded in {dt:.1f} s")
@@ -585,12 +870,25 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
             ckpt_info["error"] = e
         ckpt_info["seconds"] = time.time() - t0
 
+    # device-smooth export (r5): carve + gaussian smoothing run on device
+    # inside the grid phase, removing the host fill/scatter/smooth chain
+    # (5-15 s of the 1-core host's march phase). DSU_DEVICE_SMOOTH=0
+    # falls back to the host chain.
+    device_smooth = (mc_resolution >= 256 and mc_resolution % 4 == 0
+                     and os.environ.get("DSU_DEVICE_SMOOTH", "1")
+                     not in ("", "0"))
     ckpt_thread: Optional[threading.Thread] = None
     try:
         t0 = time.time()
-        level, vmin, vmax = isosurface_level(cfg, state.params,
-                                             resolution=mc_resolution,
-                                             step=cfg.max_steps)
+        if device_smooth:
+            level, vmin, vmax = isosurface_device(
+                cfg, state.params, resolution=mc_resolution,
+                step=cfg.max_steps,
+                front_mask=front_mask if front_cutting else None)
+        else:
+            level, vmin, vmax = isosurface_level(cfg, state.params,
+                                                 resolution=mc_resolution,
+                                                 step=cfg.max_steps)
         t_grid = time.time() - t0
     finally:
         # the checkpoint MUST commit even if the grid eval dies (training
@@ -632,10 +930,14 @@ def recon_uid(root: str, uid: str, cfg: nsr.NSRConfig, *,
 
     def host_tail() -> str:
         t0 = time.time()
-        verts, faces = isosurface_from_level(
-            level, vmin, vmax, mc_resolution,
-            front_mask=front_mask if front_cutting else None,
-            face_count=face_count)
+        if device_smooth:
+            verts, faces = isosurface_from_smoothed(
+                level, vmin, vmax, mc_resolution, face_count=face_count)
+        else:
+            verts, faces = isosurface_from_level(
+                level, vmin, vmax, mc_resolution,
+                front_mask=front_mask if front_cutting else None,
+                face_count=face_count)
         t_march = time.time() - t0
         # colors for the non-backprojection path: albedo from the radiance
         # field (device eval — this branch never runs deferred)

@@ -63,8 +63,19 @@ def marching_tetrahedra(field: np.ndarray, level: float = 0.5,
     the numpy path below stays as the correctness oracle and fallback.
     Vertex/face ORDER differs between the two (hash-map discovery order vs
     sorted unique edge keys); geometry and winding are identical, which
-    tests/test_native_march.py asserts canonically."""
+    tests/test_native_march.py asserts canonically.
+
+    A uint8 field is marched natively WITHOUT f32 conversion (level is
+    rescaled ×255; edge interpolation is affine-invariant, so vertices
+    are identical to marching field/255 at the original level — the
+    device-smooth export ships quantized-u8 fields, and converting
+    512³ on the 1-core host cost ~3 s)."""
+    if (isinstance(field, np.ndarray) and field.dtype == np.uint8
+            and use_native and native.available()):
+        return native.march_tets(field, float(level) * 255.0)
     f = np.asarray(field, np.float32)
+    if field is not f and getattr(field, "dtype", None) == np.uint8:
+        f /= 255.0
     n = f.shape[0]
     assert f.shape == (n, n, n)
     if use_native and native.available():

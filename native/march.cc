@@ -79,82 +79,12 @@ inline int64_t reflect_idx(int64_t i, int64_t n) {
   return (i < n) ? i : period - 1 - i;
 }
 
-}  // namespace
-
-extern "C" {
-
-// In-place separable gaussian filter over an n^3 float32 field, matching
-// scipy.ndimage.gaussian_filter(..., sigma, mode='reflect', truncate=4.0).
-void dsu_gaussian3d(float* f, int n, float sigma) {
-  int radius = int(4.0f * sigma + 0.5f);
-  std::vector<double> w(2 * radius + 1);
-  double s = 0.0;
-  for (int i = -radius; i <= radius; ++i) {
-    w[i + radius] = std::exp(-0.5 * double(i) * double(i) /
-                             (double(sigma) * double(sigma)));
-    s += w[i + radius];
-  }
-  for (auto& x : w) x /= s;
-
-  int64_t N = n;
-  std::vector<float> tmp(size_t(N) * N * N);
-  std::vector<float> wf(w.begin(), w.end());
-  auto row = [&](float* p, int64_t x, int64_t y) -> float* {
-    return p + (x * N + y) * N;
-  };
-  // All three passes keep the CONTIGUOUS z index innermost (an earlier
-  // version walked the kernel along strided y/x inner loops and ran 3.5x
-  // slower than scipy; this form is a (2r+1)-term AXPY over cached rows).
-  // pass along z
-  for (int64_t x = 0; x < N; ++x)
-    for (int64_t y = 0; y < N; ++y) {
-      const float* in = row(f, x, y);
-      float* out = row(tmp.data(), x, y);
-      for (int64_t z = 0; z < N; ++z) {
-        float acc = 0.f;
-        if (z >= radius && z + radius < N) {
-          for (int k = -radius; k <= radius; ++k)
-            acc += wf[k + radius] * in[z + k];
-        } else {
-          for (int k = -radius; k <= radius; ++k)
-            acc += wf[k + radius] * in[reflect_idx(z + k, N)];
-        }
-        out[z] = acc;
-      }
-    }
-  // pass along y: out-row(x,y,:) = sum_k w[k] * tmp-row(x, refl(y+k), :)
-  for (int64_t x = 0; x < N; ++x)
-    for (int64_t y = 0; y < N; ++y) {
-      float* out = row(f, x, y);
-      std::memset(out, 0, sizeof(float) * size_t(N));
-      for (int k = -radius; k <= radius; ++k) {
-        const float* in = row(tmp.data(), x, reflect_idx(y + k, N));
-        float wk = wf[k + radius];
-        for (int64_t z = 0; z < N; ++z) out[z] += wk * in[z];
-      }
-    }
-  // pass along x: same AXPY form over (x±k, y) rows
-  std::memcpy(tmp.data(), f, sizeof(float) * size_t(N) * N * N);
-  for (int64_t x = 0; x < N; ++x)
-    for (int64_t y = 0; y < N; ++y) {
-      float* out = row(f, x, y);
-      std::memset(out, 0, sizeof(float) * size_t(N));
-      for (int k = -radius; k <= radius; ++k) {
-        const float* in = row(tmp.data(), reflect_idx(x + k, N), y);
-        float wk = wf[k + radius];
-        for (int64_t z = 0; z < N; ++z) out[z] += wk * in[z];
-      }
-    }
-}
-
-// Marching tetrahedra over an n^3 float32 field at `level`. Two-call
-// protocol (output sizes are data-dependent): _run extracts and returns a
-// handle + counts; _fetch copies into caller buffers and frees the result.
-int64_t dsu_march_tets_run(const float* f, int n, float level,
-                           int64_t* out_nv, int64_t* out_nf) {
+template <typename T>
+static int64_t march_tets_impl(const T* f, int n, float level,
+                               int64_t* out_nv, int64_t* out_nf) {
   const int64_t N = n;
   auto F = [&](int64_t x, int64_t y, int64_t z) -> float {
-    return f[(x * N + y) * N + z];
+    return float(f[(x * N + y) * N + z]);
   };
 
   CaseTable cases[16];
@@ -199,17 +129,17 @@ int64_t dsu_march_tets_run(const float* f, int n, float level,
 
   for (int64_t x = 0; x + 1 < N; ++x)
     for (int64_t y = 0; y + 1 < N; ++y) {
-      const float* r00 = f + (x * N + y) * N;
-      const float* r01 = f + (x * N + y + 1) * N;
-      const float* r10 = f + ((x + 1) * N + y) * N;
-      const float* r11 = f + ((x + 1) * N + y + 1) * N;
+      const T* r00 = f + (x * N + y) * N;
+      const T* r01 = f + (x * N + y + 1) * N;
+      const T* r10 = f + ((x + 1) * N + y) * N;
+      const T* r11 = f + ((x + 1) * N + y + 1) * N;
       for (int64_t z = 0; z + 1 < N; ++z) {
         float cv[8];
         // corner c = (dx, dy, dz): value at (x+dx, y+dy, z+dz)
-        cv[0] = r00[z];     cv[1] = r10[z];
-        cv[2] = r01[z];     cv[3] = r11[z];
-        cv[4] = r00[z + 1]; cv[5] = r10[z + 1];
-        cv[6] = r01[z + 1]; cv[7] = r11[z + 1];
+        cv[0] = float(r00[z]);     cv[1] = float(r10[z]);
+        cv[2] = float(r01[z]);     cv[3] = float(r11[z]);
+        cv[4] = float(r00[z + 1]); cv[5] = float(r10[z + 1]);
+        cv[6] = float(r01[z + 1]); cv[7] = float(r11[z + 1]);
         int in_mask = 0;
         for (int c = 0; c < 8; ++c) in_mask |= (cv[c] > level) << c;
         if (in_mask == 0 || in_mask == 0xFF) continue;
@@ -284,6 +214,92 @@ int64_t dsu_march_tets_run(const float* f, int n, float level,
   int64_t h = g_next_handle++;
   g_results[h] = res;
   return h;
+}
+
+}  // namespace
+
+extern "C" {
+
+// In-place separable gaussian filter over an n^3 float32 field, matching
+// scipy.ndimage.gaussian_filter(..., sigma, mode='reflect', truncate=4.0).
+void dsu_gaussian3d(float* f, int n, float sigma) {
+  int radius = int(4.0f * sigma + 0.5f);
+  std::vector<double> w(2 * radius + 1);
+  double s = 0.0;
+  for (int i = -radius; i <= radius; ++i) {
+    w[i + radius] = std::exp(-0.5 * double(i) * double(i) /
+                             (double(sigma) * double(sigma)));
+    s += w[i + radius];
+  }
+  for (auto& x : w) x /= s;
+
+  int64_t N = n;
+  std::vector<float> tmp(size_t(N) * N * N);
+  std::vector<float> wf(w.begin(), w.end());
+  auto row = [&](float* p, int64_t x, int64_t y) -> float* {
+    return p + (x * N + y) * N;
+  };
+  // All three passes keep the CONTIGUOUS z index innermost (an earlier
+  // version walked the kernel along strided y/x inner loops and ran 3.5x
+  // slower than scipy; this form is a (2r+1)-term AXPY over cached rows).
+  // pass along z
+  for (int64_t x = 0; x < N; ++x)
+    for (int64_t y = 0; y < N; ++y) {
+      const float* in = row(f, x, y);
+      float* out = row(tmp.data(), x, y);
+      for (int64_t z = 0; z < N; ++z) {
+        float acc = 0.f;
+        if (z >= radius && z + radius < N) {
+          for (int k = -radius; k <= radius; ++k)
+            acc += wf[k + radius] * in[z + k];
+        } else {
+          for (int k = -radius; k <= radius; ++k)
+            acc += wf[k + radius] * in[reflect_idx(z + k, N)];
+        }
+        out[z] = acc;
+      }
+    }
+  // pass along y: out-row(x,y,:) = sum_k w[k] * tmp-row(x, refl(y+k), :)
+  for (int64_t x = 0; x < N; ++x)
+    for (int64_t y = 0; y < N; ++y) {
+      float* out = row(f, x, y);
+      std::memset(out, 0, sizeof(float) * size_t(N));
+      for (int k = -radius; k <= radius; ++k) {
+        const float* in = row(tmp.data(), x, reflect_idx(y + k, N));
+        float wk = wf[k + radius];
+        for (int64_t z = 0; z < N; ++z) out[z] += wk * in[z];
+      }
+    }
+  // pass along x: same AXPY form over (x±k, y) rows
+  std::memcpy(tmp.data(), f, sizeof(float) * size_t(N) * N * N);
+  for (int64_t x = 0; x < N; ++x)
+    for (int64_t y = 0; y < N; ++y) {
+      float* out = row(f, x, y);
+      std::memset(out, 0, sizeof(float) * size_t(N));
+      for (int k = -radius; k <= radius; ++k) {
+        const float* in = row(tmp.data(), reflect_idx(x + k, N), y);
+        float wk = wf[k + radius];
+        for (int64_t z = 0; z < N; ++z) out[z] += wk * in[z];
+      }
+    }
+}
+
+// Marching tetrahedra over an n^3 float32 field at `level`. Two-call
+// protocol (output sizes are data-dependent): _run extracts and returns a
+// handle + counts; _fetch copies into caller buffers and frees the result.
+// Marching tetrahedra over an n^3 field at `level` (float32 or uint8 —
+// edge interpolation is affine-invariant, so a u8 field at level*255
+// yields identical t parameters to its f32/255 counterpart). Two-call
+// protocol (output sizes are data-dependent): _run extracts and returns
+// a handle + counts; _fetch copies into caller buffers and frees.
+int64_t dsu_march_tets_run(const float* f, int n, float level,
+                           int64_t* out_nv, int64_t* out_nf) {
+  return march_tets_impl<float>(f, n, level, out_nv, out_nf);
+}
+
+int64_t dsu_march_tets_run_u8(const uint8_t* f, int n, float level,
+                              int64_t* out_nv, int64_t* out_nf) {
+  return march_tets_impl<uint8_t>(f, n, level, out_nv, out_nf);
 }
 
 void dsu_march_tets_fetch(int64_t handle, float* verts, int* faces) {

@@ -126,3 +126,19 @@ class TestDecimateFast:
         # index coords: r=0.4 over [-0.5,0.5] mapped to 48 cells → ~18.8
         assert abs(rad.mean() - 0.4 * 47) < 0.5
         assert rad.std() < 0.3
+
+
+def test_u8_march_matches_quantized_f32():
+    """The u8 fast path (device-smooth export) must march EXACTLY like the
+    same field as f32/255 — edge interpolation is affine-invariant."""
+    import numpy as np
+
+    from drawingspinup_tpu.render.marching import marching_tetrahedra
+    z, y, x = np.mgrid[0:48, 0:48, 0:48].astype(np.float32)
+    sm = np.clip(1.0 - (np.sqrt((x - 24) ** 2 + (y - 24) ** 2
+                                + (z - 24) ** 2) - 14) / 4, 0, 1)
+    u8 = np.round(sm * 255).astype(np.uint8)
+    vf, ff = marching_tetrahedra(u8.astype(np.float32) / 255.0, 0.5)
+    vu, fu = marching_tetrahedra(u8, 0.5)
+    assert len(vf) == len(vu) and np.array_equal(ff, fu)
+    assert np.abs(vf - vu).max() < 1e-4

@@ -103,6 +103,83 @@ def test_sparse_grid_matches_dense():
     assert np.abs(vd - vs).max() < 1e-4
 
 
+@pytest.mark.slow
+def test_device_smooth_matches_host_path():
+    """Device-smooth export (eval_smoothed_grid_sparse → u8 field) must
+    reproduce the host chain (sparse grid → carve → scipy gaussian) up to
+    u8 quantization and fp-association: same occupancy away from the 0.5
+    crossing, and marched meshes within a fraction of a cell."""
+    import jax
+
+    from drawingspinup_tpu.pipelines import stage2_recon as s2
+    from drawingspinup_tpu.render.marching import (
+        marching_tetrahedra, smooth_binary,
+    )
+    from drawingspinup_tpu.train import nsr
+    from test_nsr import TINY_NSR
+
+    state = nsr.init_state(TINY_NSR, jax.random.PRNGKey(3))
+    vmin = np.array([-0.8, -0.8, -0.8], np.float32)
+    vmax = np.array([0.8, 0.8, 0.8], np.float32)
+    R = 256
+    # synthetic carve mask: drop one corner quadrant
+    front = np.ones((64, 64), np.float32)
+    front[:20, :20] = 0.0
+
+    level = s2.eval_sdf_grid_sparse(TINY_NSR, state.params, vmin, vmax, R,
+                                    step=TINY_NSR.max_steps)
+    crop = s2.front_crop(front, vmin, vmax, R)
+    binary = (level <= 0) & (crop[:, None, :] > 127)
+    host_sm = smooth_binary(binary.astype(np.float32), 1.0)
+
+    dev_u8 = s2.eval_smoothed_grid_sparse(TINY_NSR, state.params, vmin,
+                                          vmax, R, step=TINY_NSR.max_steps,
+                                          front_mask=front)
+    assert dev_u8.dtype == np.uint8 and dev_u8.shape == (R, R, R)
+    dev_sm = dev_u8.astype(np.float32) / 255.0
+
+    # occupancy agreement away from the crossing. The two paths each
+    # re-evaluate the field; voxels with |sdf| ≈ fp-noise can flip between
+    # runs and each flip perturbs its 9³ smoothing neighborhood — so the
+    # bounds tolerate ISOLATED eval-noise (≤1e-4 of voxels) while a
+    # systematic smoothing difference (wrong kernel/boundary) would move
+    # orders of magnitude more
+    confident = np.abs(host_sm - 0.5) > 0.02
+    mismatch = ((host_sm > 0.5) != (dev_sm > 0.5)) & confident
+    assert mismatch.mean() < 1e-4, mismatch.mean()
+    diff = np.abs(host_sm - dev_sm)
+    assert (diff > 0.02).mean() < 1e-4, (diff > 0.02).mean()
+    assert float(np.quantile(diff, 0.999)) < 0.01
+
+    vh, fh = marching_tetrahedra(host_sm, 0.5)
+    vd2, fd2 = marching_tetrahedra(dev_sm, 0.5)
+    assert abs(len(fh) - len(fd2)) <= 0.01 * max(len(fh), 1)
+    # vertex agreement: 99.9% within a third of a cell; isolated
+    # eval-noise flips may move a handful up to ~a kernel radius
+    from scipy.spatial import cKDTree
+    d1 = cKDTree(vh).query(vd2, k=1)[0]
+    d2 = cKDTree(vd2).query(vh, k=1)[0]
+    assert float(np.quantile(np.concatenate([d1, d2]), 0.999)) < 0.34
+    assert max(d1.max(), d2.max()) < 8.0
+
+    # end-to-end device-march half: same mesh in world coords with the
+    # SAME orientation (signed volume agrees — the (z,y,x) unpermute must
+    # flip face winding)
+    wv_h, wf_h = s2.isosurface_from_level(level, vmin, vmax, R,
+                                          front_mask=front, remeshing=False)
+    wv_d, wf_d = s2.isosurface_from_smoothed(dev_u8, vmin, vmax, R,
+                                             remeshing=False)
+
+    def signed_volume(v, f):
+        t = v[f]
+        return float(np.einsum("ij,ij->i", t[:, 0],
+                               np.cross(t[:, 1], t[:, 2])).sum() / 6.0)
+
+    sv_h, sv_d = signed_volume(wv_h, wf_h), signed_volume(wv_d, wf_d)
+    assert sv_h * sv_d > 0, (sv_h, sv_d)
+    assert abs(sv_d - sv_h) < 0.05 * abs(sv_h), (sv_h, sv_d)
+
+
 def test_sparse_grid_odd_resolution_falls_back_cleanly():
     """ADVICE r1: every resolution must get bounded-size slab programs —
     np.array_split path, exercised at a non-multiple-of-8 resolution."""
