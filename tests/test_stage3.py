@@ -326,7 +326,10 @@ def test_gan_vgg_npz_overlay(tmp_path, capsys):
 
     cfg = gan.GANConfig(generator="GeneratorJ", input_channels=3,
                         batch_size=2, patch_size=16)
-    # fallback: loud warning on stderr
+    # fallback: loud warning on stderr (warned ONCE per component per
+    # process — reset the policy so an earlier test hasn't consumed it)
+    from drawingspinup_tpu.core import weights_policy
+    weights_policy.reset_degradations()
     gan.init_state(cfg, jax.random.PRNGKey(0))
     err = capsys.readouterr().err
     assert "FIXED RANDOM VGG" in err
