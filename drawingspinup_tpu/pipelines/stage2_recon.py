@@ -520,6 +520,9 @@ def eval_smoothed_grid_sparse(cfg: nsr.NSRConfig, params, vmin: np.ndarray,
 
     crop = front_crop(front_mask, vmin, vmax, R) / 255.0 \
         if front_mask is not None else np.ones((R, R), np.float32)
+    if _PROF_EXPORT:
+        np.asarray(futs[-1][:1, :1])          # sync: fine-eval compute
+        t0 = _prof("dsmooth: fine eval compute", t0)
     vals_dev = jnp.concatenate(futs, axis=0).astype(jnp.float32)
     smooth = _smooth_pack_fn(R, block, kpad)
     out = smooth(jnp.asarray(coarse), jnp.asarray(ids_p), vals_dev,
